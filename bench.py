@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: full stationary solve at the reference's
+strong-scaling configuration.
+
+Reference anchor (BASELINE.md / performance_log.csv): stationary solver,
+100x70 mesh (Q3/Q2, 154,244 DoFs), target Re = 100, FGMRES +
+blockTriangular, tolerance 1e-12, full-run wall clock.  The 4-process CPU
+reference measures ~777.3 s (1 proc: 5294.75 s).  ``vs_baseline`` is the
+speedup of this single-TPU-chip run over the 4-process reference.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_4PROC_SECONDS = 777.3  # performance_log.csv:55-57 (FGMRES, prec=1)
+
+
+def main():
+    os.environ.setdefault("NSTPU_CACHE_DIR", "/tmp/nstpu_jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["NSTPU_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from navier_stokes_solver_tpu.api import NSSolverStationary, SolverOptions
+
+    opts = SolverOptions(
+        mesh_size=(100, 70),
+        degree_velocity=3,
+        degree_pressure=2,
+        Re=100.0,
+        solver_type=1,  # FGMRES
+        tolerance=1e-12,
+        preconditioner_type=1,  # blockTriangular
+        verbose=bool(os.environ.get("NSTPU_BENCH_VERBOSE")),
+    )
+    solver = NSSolverStationary(opts)
+    solver.setup()
+
+    t0 = time.perf_counter()
+    solver.solve_newton()
+    elapsed = time.perf_counter() - t0
+
+    solver.compute_lift_drag()
+    solver.compute_drag_coeff()
+    solver.compute_lift_coeff()
+
+    total_krylov = sum(h["krylov_iters"] for h in solver.history)
+    result = {
+        "metric": "stationary_solve_wallclock_100x70_Q3Q2_FGMRES_blockTriangular_tol1e-12_Re100",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_4PROC_SECONDS / elapsed, 3),
+        "extra": {
+            "n_dofs": solver.space.n_dofs,
+            "total_krylov_iters": total_krylov,
+            "newton_solves": len(solver.history),
+            "drag_coeff": solver.drag_coeff,
+            "lift_coeff": solver.lift_coeff,
+            "device": str(jax.devices()[0]),
+            "dtype": str(solver.disc.dtype),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""TPU-native incompressible Navier-Stokes framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+HliasGit/navier_stokes_solver reference (deal.II/Trilinos/MPI, C++):
+stationary and time-dependent solves of the 2D incompressible
+Navier-Stokes equations on the Schaefer-Turek "flow past a cylinder in a
+channel" geometry, with Newton linearization + backtracking line search,
+Reynolds/inlet continuation, selectable Krylov methods (GMRES / FGMRES /
+BiCGStab) over the 2x2 block system, and three block preconditioners
+(blockDiagonal, blockTriangular, aSIMPLE).
+
+Architecture (TPU-first, not a port):
+  - matrix-free cell-local operator application on a structured quad grid
+    (stride-slice gather + batched einsum + dilated-pad scatter; no global
+    sparse matrix is ever assembled)  [replaces deal.II/Trilinos assembly+SpMV]
+  - jit-compiled Krylov iterations as ``lax.while_loop`` over (u, p) pytrees
+  - domain decomposition via ``jax.sharding`` / ``shard_map`` over a device
+    mesh (the analog of the reference's MPI rank decomposition)
+  - fp64 by default (the reference's tolerances go down to 1e-12), with an
+    fp32 path for throughput experiments.
+
+Reference parity citations use the form ``file:line`` against the mounted
+reference repo (e.g. ``NSSolver.cpp:313``).
+"""
+
+import os
+
+# The reference solves with absolute tolerances down to 1e-12
+# (performance_analysis.ipynb strong-scaling setup); fp64 is required.
+# Set NSTPU_DISABLE_X64=1 to experiment with fp32-only throughput.
+if not os.environ.get("NSTPU_DISABLE_X64"):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,226 @@
+"""Shared solver machinery: options, setup, tangent solves, lift/drag."""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from navier_stokes_solver_tpu.api import kernels
+from navier_stokes_solver_tpu.geometry import make_channel_geometry, make_fe_space
+from navier_stokes_solver_tpu.ops import Blocks, make_disc
+
+__all__ = ["SolverOptions", "NSSolverBase", "SOLVER_NAMES", "PRECONDITIONER_NAMES"]
+
+SOLVER_NAMES = {0: "GMRES", 1: "FGMRES", 2: "Bicgstab"}
+PRECONDITIONER_NAMES = {0: "blockDiagonal", 1: "blockTriangular", 2: "aSIMPLE"}
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    """CLI-equivalent configuration (defaults from test.cpp:25-34)."""
+
+    mesh_size: tuple[int, int] = (100, 100)  # -m X,Y
+    degree_velocity: int = 3  # generated-mesh path default (test.cpp:26)
+    degree_pressure: int = 2
+    Re: float = 100.0  # -r
+    solver_type: int = 1  # -s (FGMRES)
+    tolerance: float = 1e-6  # -t (absolute)
+    preconditioner_type: int = 0  # -p (blockDiagonal)
+    time_span: float = 1.0  # -T span,step (unsteady only)
+    time_step: float = 0.01
+    read_mesh_from_file: bool = False  # -M (switches degrees to 2,1)
+    mesh_file_name: str = ""
+    alpha: float = 0.5  # aSIMPLE damping (hardcoded, NSSolver.cpp:645)
+    dtype: Any = None  # default: f64 when x64 enabled
+    verbose: bool = True
+    write_output: bool = False  # VTU snapshots (reference writes always)
+    output_dir: str = "."
+
+
+class NSSolverBase:
+    """Common lifecycle for the stationary and unsteady solvers."""
+
+    VARIANT: str = ""  # "stationary" | "unsteady"
+    KRYLOV_MAXITER: int = 0  # SolverControl maxit
+
+    def __init__(self, options: SolverOptions | None = None, **kwargs):
+        if options is None:
+            options = SolverOptions(**kwargs)
+        elif kwargs:
+            options = dataclasses.replace(options, **kwargs)
+        if options.read_mesh_from_file:
+            # -M flips the FE degrees (test.cpp:66-70).  The unstructured
+            # simplex path itself is not supported by the structured-grid
+            # backend; the structured Q2/Q1 equivalent is used instead.
+            options = dataclasses.replace(
+                options, degree_velocity=2, degree_pressure=1
+            )
+        self.options = options
+        self.Re = options.Re
+        self.nu: float = 0.01 if self.VARIANT == "unsteady" else 0.001
+        self.history: list[dict] = []
+        self.lift_force = 0.0
+        self.drag_force = 0.0
+        self.lift_coeff = 0.0
+        self.drag_coeff = 0.0
+        self._is_setup = False
+
+    # ------------------------------------------------------------------
+    def log(self, *msg):
+        if self.options.verbose:
+            print(*msg, flush=True)
+
+    def setup(self):
+        """Build mesh, FE space and device data (NSSolver::setup,
+        NSSolver.cpp:3-311)."""
+        o = self.options
+        t0 = _time.perf_counter()
+        self.geo = make_channel_geometry(*o.mesh_size)
+        self.space = make_fe_space(self.geo, o.degree_velocity, o.degree_pressure)
+        self.disc = make_disc(self.space, o.dtype)
+        self.log(f"  Number of elements = {self.geo.n_active_cells}")
+        self.log("-----------------------------------------------")
+        self.log("Initializing the finite element space")
+        self.log(f"  Velocity degree:           = {o.degree_velocity}")
+        self.log(f"  Pressure degree:           = {o.degree_pressure}")
+        self.log("-----------------------------------------------")
+        self.log("  Number of DoFs: ")
+        self.log(f"    velocity = {self.space.n_dofs_velocity}")
+        self.log(f"    pressure = {self.space.n_dofs_pressure}")
+        self.log(f"    total    = {self.space.n_dofs}")
+
+        dt = self.disc.dtype
+        NVy, NVx = self.disc.NV
+        NPy, NPx = self.disc.NP
+        zero = Blocks(
+            u=jnp.zeros((2, NVy, NVx), dt), p=jnp.zeros((NPy, NPx), dt)
+        )
+        self.solution = zero
+        self.solution_old = zero
+        self.delta = zero  # persistent delta_owned (warm start semantics)
+        self._is_setup = True
+        self.setup_seconds = _time.perf_counter() - t0
+        return self
+
+    # ------------------------------------------------------------------
+    @property
+    def inv_dt(self) -> float:
+        return 0.0
+
+    def _inlet_amp(self, lifting: bool) -> float:
+        raise NotImplementedError
+
+    def assemble_system(self, stokes: bool, lifting: bool) -> float:
+        """Assemble rhs = -R with BC; returns its l2 norm."""
+        self.rhs, rn = kernels.assemble_kernel(
+            self.disc,
+            self.nu,
+            self.inv_dt,
+            self.solution,
+            self.solution_old.u,
+            self._inlet_amp(lifting),
+            stokes=stokes,
+        )
+        return float(rn)
+
+    def solve_system(self, stokes: bool, lifting: bool) -> int:
+        """Tangent solve; prints and returns the Krylov iteration count
+        (NSSolver.cpp:601-672)."""
+        o = self.options
+        self.log(f"Solver tolerance: {o.tolerance}")
+        self.delta, info = kernels.solve_kernel(
+            self.disc,
+            self.nu,
+            self.inv_dt,
+            self.solution,
+            self.rhs,
+            self.delta,
+            self._inlet_amp(lifting),
+            o.tolerance,
+            stokes=stokes,
+            solver_type=o.solver_type,
+            prec_type=o.preconditioner_type,
+            variant=self.VARIANT,
+            maxiter=self.KRYLOV_MAXITER,
+        )
+        iters = int(info.iters)
+        self.log(f"   {iters} iterations")
+        return iters
+
+    # ------------------------------------------------------------------
+    # Lift / drag (NSSolver.cpp:839-974)
+    # ------------------------------------------------------------------
+    def compute_lift_drag(self):
+        self.log("===============================================")
+        self.log("Computing lift and drag forces")
+        drag, lift = kernels.lift_drag_kernel(self.disc, self.nu, self.solution)
+        self.drag_force = float(drag)
+        self.lift_force = float(lift)
+        self.log(f"Lift force: {self.lift_force}")
+        self.log(f"Drag force: {self.drag_force}")
+
+    def get_avg_inlet_velocity(self) -> float:
+        """U_avg = 2 * U(0, H/2) / 3 (NSSolver.cpp:940-944)."""
+        u_max = self._inlet_u_max()
+        return 2.0 * u_max / 3.0  # parabola value at mid-channel equals u_max
+
+    def _inlet_u_max(self) -> float:
+        raise NotImplementedError
+
+    def get_reynolds(self) -> float:
+        return self.get_avg_inlet_velocity() * 0.1 / self.nu
+
+    def compute_lift_coeff(self):
+        ua = self.get_avg_inlet_velocity()
+        self.lift_coeff = 2.0 * self.lift_force / (ua * ua * 0.1)
+
+    def compute_drag_coeff(self):
+        ua = self.get_avg_inlet_velocity()
+        self.drag_coeff = 2.0 * self.drag_force / (ua * ua * 0.1)
+
+    def print_lift_coeff(self):
+        self.log("===============================================")
+        self.compute_lift_coeff()
+        self.log(f"Lift coefficient: {self.lift_coeff}")
+
+    def print_drag_coeff(self):
+        self.log("===============================================")
+        self.compute_drag_coeff()
+        self.log(f"Drag coefficient: {self.drag_coeff}")
+
+    def write_lift_drag_to_file(self, directory: str | None = None):
+        """Append coefficients to per-Re files (NSSolver.cpp:976-1018)."""
+        import os
+
+        directory = directory or self.options.output_dir
+        re = self.get_reynolds()
+        for name, value in (
+            ("drag_coefficient", self.drag_coeff),
+            ("lift_coefficient", self.lift_coeff),
+        ):
+            path = os.path.join(directory, f"{name}_{re:.2f}.txt")
+            with open(path, "a") as f:
+                f.write(f"{value}\n")
+
+    # ------------------------------------------------------------------
+    def output(self, time_step: int | None = None):
+        """Parallel VTU output (NSSolver.cpp:761-797)."""
+        if not self.options.write_output:
+            return
+        from navier_stokes_solver_tpu.io import write_vtu_record
+
+        write_vtu_record(
+            self.space,
+            np.asarray(self.solution.u),
+            np.asarray(self.solution.p),
+            directory=self.options.output_dir,
+            counter=time_step or 0,
+        )
+
+    def fields(self) -> tuple[np.ndarray, np.ndarray]:
+        """Host copies of (velocity, pressure)."""
+        return np.asarray(self.solution.u), np.asarray(self.solution.p)

@@ -1,0 +1,110 @@
+"""Jit-compiled device kernels shared by the solver classes.
+
+The fidelity path keeps the reference's *outer* control flow (continuation,
+Newton, line search -- small trip counts, data-dependent) on the host, while
+every numerical step below it (assembly-equivalent residual evaluation,
+Krylov solves with nested preconditioner solves) is a single compiled XLA
+program.  The fused fully-on-device step for the performance path lives in
+``timeloop``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from navier_stokes_solver_tpu.krylov import bicgstab, fgmres, gmres
+from navier_stokes_solver_tpu.ops import (
+    Blocks,
+    apply_jacobian,
+    diag_F,
+    eval_state,
+    lift_drag_forces,
+    norm,
+    residual,
+)
+from navier_stokes_solver_tpu.ops.matfree import dirichlet_values
+from navier_stokes_solver_tpu.precond import LinearContext, make_preconditioner
+
+__all__ = [
+    "assemble_kernel",
+    "solve_kernel",
+    "update_solution",
+    "lift_drag_kernel",
+]
+
+_SOLVERS = {0: gmres, 1: fgmres, 2: bicgstab}
+
+
+@partial(jax.jit, static_argnames=("stokes",))
+def assemble_kernel(disc, nu, inv_dt, st: Blocks, u_old, inlet_amp, *, stokes):
+    """Residual assembly + norm (the reference's assemble_system + l2_norm,
+    NSSolver.cpp:700-707)."""
+    linq = None if stokes else eval_state(disc, st)
+    dF = diag_F(disc, nu, inv_dt, linq, stokes=stokes)
+    rhs = residual(
+        disc, nu, inv_dt, st, u_old, dF, stokes=stokes, inlet_amp=inlet_amp
+    )
+    return rhs, norm(rhs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("stokes", "solver_type", "prec_type", "variant", "maxiter"),
+)
+def solve_kernel(
+    disc,
+    nu,
+    inv_dt,
+    st: Blocks,
+    rhs: Blocks,
+    delta_prev: Blocks,
+    inlet_amp,
+    tol,
+    *,
+    stokes: bool,
+    solver_type: int,
+    prec_type: int,
+    variant: str,
+    maxiter: int,
+):
+    """One tangent solve (NSSolver::solve_system, NSSolver.cpp:601-672).
+
+    The Krylov initial guess mirrors deal.II's ``apply_boundary_values``
+    side effect: constrained entries of the persistent ``delta_owned`` are
+    set to the boundary values, interior entries warm-start from the
+    previous solve.
+    """
+    linq = None if stokes else eval_state(disc, st)
+    dF = diag_F(disc, nu, inv_dt, linq, stokes=stokes)
+    ctx = LinearContext(
+        disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF
+    )
+    M = make_preconditioner(prec_type, ctx, variant=variant)
+
+    def A(x: Blocks) -> Blocks:
+        return apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
+
+    g = dirichlet_values(disc, inlet_amp)
+    x0u = jnp.where(disc.u_dirichlet, g, delta_prev.u)
+    x0u = jnp.where(disc.u_active, x0u, 0.0)
+    x0 = Blocks(u=x0u, p=jnp.where(disc.p_active, delta_prev.p, 0.0))
+
+    delta, info = _SOLVERS[solver_type](A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
+    return delta, info
+
+
+@jax.jit
+def update_solution(evaluation_point: Blocks, delta: Blocks, alpha) -> Blocks:
+    """solution = evaluation_point + alpha * delta (NSSolver.cpp:729-731)."""
+    return Blocks(
+        u=evaluation_point.u + alpha * delta.u,
+        p=evaluation_point.p + alpha * delta.p,
+    )
+
+
+@jax.jit
+def lift_drag_kernel(disc, nu, st: Blocks):
+    return lift_drag_forces(disc, nu, st)

@@ -1,0 +1,125 @@
+"""Shared CLI argument handling (getopt_long parity, test.cpp:37-105)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from navier_stokes_solver_tpu.api.base import (
+    PRECONDITIONER_NAMES,
+    SOLVER_NAMES,
+    SolverOptions,
+)
+
+__all__ = ["build_parser", "parse_options", "echo_config"]
+
+
+def build_parser(unsteady: bool) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="NSSolver" if unsteady else "StationaryNSSolver",
+        description="TPU-native incompressible Navier-Stokes solver "
+        "(flow past a cylinder in a channel).",
+    )
+    if unsteady:
+        p.add_argument(
+            "-T",
+            "--timespan-step",
+            default="1.0,0.01",
+            metavar="T,D",
+            help="time span and time step (two floats separated by a comma)",
+        )
+    p.add_argument(
+        "-M",
+        "--read-mesh-from-file",
+        action="store_true",
+        help="read mesh from file instead of generating it (switches FE "
+        "degrees to 2,1; the structured-grid backend uses the generated "
+        "channel at the requested resolution)",
+    )
+    p.add_argument(
+        "-m",
+        "--mesh-size",
+        default="100,100",
+        metavar="X,Y",
+        help="mesh size (two integers separated by a comma)",
+    )
+    p.add_argument("-r", "--reynolds", type=float, default=100.0, metavar="N")
+    p.add_argument(
+        "-s",
+        "--solver",
+        type=int,
+        default=1,
+        metavar="N",
+        help="0: GMRES, 1: FGMRES, 2: Bicgstab",
+    )
+    p.add_argument("-t", "--tolerance", type=float, default=1e-6, metavar="D")
+    p.add_argument(
+        "-p",
+        "--preconditioner",
+        type=int,
+        default=0,
+        metavar="N",
+        help="0: blockDiagonal, 1: blockTriangular, 2: aSIMPLE",
+    )
+    p.add_argument("--output", action="store_true", help="write VTU snapshots")
+    p.add_argument("--output-dir", default=".", metavar="DIR")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--f32", action="store_true", help="fp32 throughput mode")
+    return p
+
+
+def _pair(s: str, cast, flag: str):
+    if "," not in s:
+        print(f"Error: {flag} requires two values separated by comma", file=sys.stderr)
+        raise SystemExit(1)
+    a, b = s.split(",", 1)
+    return cast(a), cast(b)
+
+
+def parse_options(argv, unsteady: bool) -> SolverOptions:
+    args = build_parser(unsteady).parse_args(argv)
+    mx, my = _pair(args.mesh_size, int, "mesh-size")
+    opts = SolverOptions(
+        mesh_size=(mx, my),
+        Re=args.reynolds,
+        solver_type=args.solver,
+        tolerance=args.tolerance,
+        preconditioner_type=args.preconditioner,
+        read_mesh_from_file=args.read_mesh_from_file,
+        verbose=not args.quiet,
+        write_output=args.output,
+        output_dir=args.output_dir,
+    )
+    if unsteady:
+        ts, dt = _pair(args.timespan_step, float, "timespan-step")
+        opts.time_span, opts.time_step = ts, dt
+        if dt <= 0 or ts <= 0:
+            print(
+                "Error: time_step, time_span, and tolerance must be positive",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+    if args.tolerance <= 0:
+        print("Error: tolerance must be positive", file=sys.stderr)
+        raise SystemExit(1)
+    if args.f32:
+        import jax.numpy as jnp
+
+        opts.dtype = jnp.float32
+    return opts
+
+
+def echo_config(opts: SolverOptions, unsteady: bool):
+    """Configuration echo (test.cpp:116-145)."""
+    if not opts.verbose:
+        return
+    print("--------- CONFIGURATION PARAMETERS --------- ")
+    if unsteady:
+        print(f"Time span: {opts.time_span}")
+        print(f"Time step: {opts.time_step}")
+    print(f"Mesh size: {opts.mesh_size[0]}x{opts.mesh_size[1]}")
+    print(f"Reynolds number: {opts.Re}")
+    print(f"Solver type: {SOLVER_NAMES.get(opts.solver_type, '?')}")
+    print(f"Tolerance: {opts.tolerance}")
+    print(f"Preconditioner: {PRECONDITIONER_NAMES.get(opts.preconditioner_type, '?')}")
+    print("-----------------------------------------------")

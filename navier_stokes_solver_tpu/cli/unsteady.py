@@ -1,0 +1,21 @@
+"""Unsteady CLI driver (test.cpp:21-155 parity)."""
+
+from __future__ import annotations
+
+import sys
+
+from navier_stokes_solver_tpu.api import NSSolver
+from navier_stokes_solver_tpu.cli.common import echo_config, parse_options
+
+
+def main(argv=None):
+    opts = parse_options(argv if argv is not None else sys.argv[1:], unsteady=True)
+    echo_config(opts, unsteady=True)
+    problem = NSSolver(opts)
+    problem.setup()
+    problem.solve()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

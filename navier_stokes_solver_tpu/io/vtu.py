@@ -1,0 +1,183 @@
+"""VTU / PVTU output of (velocity, pressure) fields.
+
+Equivalent of the reference's ``DataOut::write_vtu_with_pvtu_record``
+(NSSolver.cpp:761-797): one quad patch per active cell with fields sampled at
+cell corner vertices (deal.II ``build_patches()`` with the default single
+subdivision), a per-cell ``partitioning`` field, and a ``.pvtu`` master
+record grouping per-counter files with a 3-digit counter (NSSolver.cpp:789).
+
+Pure NumPy, binary appended-data encoding.  A C++ fast path (for very large
+meshes) can slot in behind the same signature.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import struct
+
+import numpy as np
+
+from navier_stokes_solver_tpu.geometry.space import FESpace
+
+__all__ = ["write_vtu", "write_vtu_record"]
+
+
+def _b64_block(arr: np.ndarray) -> str:
+    raw = arr.tobytes()
+    header = struct.pack("<I", len(raw))
+    return base64.b64encode(header + raw).decode("ascii")
+
+
+def _corner_fields(space: FESpace, u: np.ndarray, p: np.ndarray):
+    """Sample velocity and pressure at the cell-corner vertex lattice."""
+    kv, kp = space.deg_v, space.deg_p
+    u_c = u[:, ::kv, ::kv]  # [2, ny+1, nx+1]
+    p_c = p[::kp, ::kp]  # [ny+1, nx+1]
+    return u_c, p_c
+
+
+def write_vtu(
+    space: FESpace,
+    u: np.ndarray,
+    p: np.ndarray,
+    path: str,
+    *,
+    partitioning: np.ndarray | None = None,
+) -> str:
+    geo = space.geo
+    ny, nx = geo.ny, geo.nx
+    act = geo.cell_active
+
+    # vertex lattice (corners)
+    xs = geo.x0 + np.arange(nx + 1) * geo.hx
+    ys = geo.y0 + np.arange(ny + 1) * geo.hy
+    X, Y = np.meshgrid(xs, ys)
+    n_pts = (nx + 1) * (ny + 1)
+    points = np.zeros((n_pts, 3))
+    points[:, 0] = X.ravel()
+    points[:, 1] = Y.ravel()
+
+    def vid(iy, ix):
+        return iy * (nx + 1) + ix
+
+    iy, ix = np.nonzero(act)
+    conn = np.stack(
+        [vid(iy, ix), vid(iy, ix + 1), vid(iy + 1, ix + 1), vid(iy + 1, ix)],
+        axis=1,
+    ).astype(np.int32)
+    n_cells = conn.shape[0]
+    offsets = (np.arange(n_cells, dtype=np.int32) + 1) * 4
+    types = np.full(n_cells, 9, dtype=np.uint8)  # VTK_QUAD
+
+    u_c, p_c = _corner_fields(space, np.asarray(u), np.asarray(p))
+    vel = np.zeros((n_pts, 3))
+    vel[:, 0] = u_c[0].ravel()
+    vel[:, 1] = u_c[1].ravel()
+    pres = p_c.ravel()
+    if partitioning is None:
+        partitioning = np.zeros(n_cells)
+    else:
+        partitioning = np.asarray(partitioning, dtype=np.float64)[act]
+
+    parts = []
+    parts.append('<?xml version="1.0"?>')
+    parts.append(
+        '<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">'
+    )
+    parts.append("<UnstructuredGrid>")
+    parts.append(f'<Piece NumberOfPoints="{n_pts}" NumberOfCells="{n_cells}">')
+    parts.append("<Points>")
+    parts.append(
+        '<DataArray type="Float64" NumberOfComponents="3" format="binary">'
+        + _b64_block(points.astype("<f8"))
+        + "</DataArray>"
+    )
+    parts.append("</Points>")
+    parts.append("<Cells>")
+    parts.append(
+        '<DataArray type="Int32" Name="connectivity" format="binary">'
+        + _b64_block(conn.astype("<i4"))
+        + "</DataArray>"
+    )
+    parts.append(
+        '<DataArray type="Int32" Name="offsets" format="binary">'
+        + _b64_block(offsets.astype("<i4"))
+        + "</DataArray>"
+    )
+    parts.append(
+        '<DataArray type="UInt8" Name="types" format="binary">'
+        + _b64_block(types)
+        + "</DataArray>"
+    )
+    parts.append("</Cells>")
+    parts.append('<PointData Vectors="velocity">')
+    parts.append(
+        '<DataArray type="Float64" Name="velocity" NumberOfComponents="3" '
+        'format="binary">' + _b64_block(vel.astype("<f8")) + "</DataArray>"
+    )
+    parts.append(
+        '<DataArray type="Float64" Name="pressure" format="binary">'
+        + _b64_block(pres.astype("<f8"))
+        + "</DataArray>"
+    )
+    parts.append("</PointData>")
+    parts.append("<CellData>")
+    parts.append(
+        '<DataArray type="Float64" Name="partitioning" format="binary">'
+        + _b64_block(partitioning.astype("<f8"))
+        + "</DataArray>"
+    )
+    parts.append("</CellData>")
+    parts.append("</Piece>")
+    parts.append("</UnstructuredGrid>")
+    parts.append("</VTKFile>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def write_vtu_record(
+    space: FESpace,
+    u: np.ndarray,
+    p: np.ndarray,
+    *,
+    directory: str = ".",
+    basename: str = "output",
+    counter: int = 0,
+    partitioning: np.ndarray | None = None,
+) -> str:
+    """Write ``output_NNN.0.vtu`` + matching ``.pvtu`` record (3-digit
+    grouping, NSSolver.cpp:789-793)."""
+    os.makedirs(directory, exist_ok=True)
+    piece = f"{basename}_{counter:03d}.0.vtu"
+    write_vtu(
+        space, u, p, os.path.join(directory, piece), partitioning=partitioning
+    )
+    pvtu = os.path.join(directory, f"{basename}_{counter:03d}.pvtu")
+    with open(pvtu, "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    '<?xml version="1.0"?>',
+                    '<VTKFile type="PUnstructuredGrid" version="0.1" '
+                    'byte_order="LittleEndian">',
+                    '<PUnstructuredGrid GhostLevel="0">',
+                    "<PPoints>",
+                    '<PDataArray type="Float64" NumberOfComponents="3"/>',
+                    "</PPoints>",
+                    '<PPointData Vectors="velocity">',
+                    '<PDataArray type="Float64" Name="velocity" '
+                    'NumberOfComponents="3"/>',
+                    '<PDataArray type="Float64" Name="pressure"/>',
+                    "</PPointData>",
+                    "<PCellData>",
+                    '<PDataArray type="Float64" Name="partitioning"/>',
+                    "</PCellData>",
+                    f'<Piece Source="{piece}"/>',
+                    "</PUnstructuredGrid>",
+                    "</VTKFile>",
+                ]
+            )
+        )
+    return pvtu

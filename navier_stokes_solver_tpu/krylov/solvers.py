@@ -1,0 +1,342 @@
+"""Krylov solvers as jit-compiled ``lax.while_loop`` iterations over pytrees.
+
+Semantics mirror the deal.II solvers the reference dispatches to
+(NSSolver.cpp:601-672):
+
+  * absolute tolerance on the residual norm (``SolverControl(maxit, tol)``;
+    the CLI ``-t`` flag is an absolute tolerance);
+  * an initial check at step 0 -- a converged initial guess reports 0
+    iterations, which the reference's Newton loop uses as a stagnation
+    signal (NSSolver.cpp:721-722);
+  * GMRES is left-preconditioned with a restart basis of 30 vectors
+    (deal.II ``SolverGMRES`` defaults; its convergence check sees the
+    preconditioned residual), FGMRES is right-preconditioned (basis 30),
+    BiCGStab and CG monitor the true residual.
+
+All operators/preconditioners are callables ``x -> y`` over arbitrary
+pytrees (here: ``Blocks`` or bare velocity/pressure arrays).  Everything is
+fixed-shape: Krylov bases are stacked leading-dimension pytrees updated with
+``dynamic_update_index_in_dim``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["SolveInfo", "gmres", "fgmres", "bicgstab", "cg"]
+
+Op = Callable
+
+
+class SolveInfo(NamedTuple):
+    iters: jax.Array  # int32: deal.II solver_control.last_step()
+    converged: jax.Array  # bool
+    resnorm: jax.Array  # final (estimated) residual norm
+
+
+# ---------------------------------------------------------------------------
+# pytree vector helpers
+# ---------------------------------------------------------------------------
+
+
+def tvdot(x, y):
+    leaves_x = jax.tree_util.tree_leaves(x)
+    leaves_y = jax.tree_util.tree_leaves(y)
+    return sum(jnp.vdot(a, b) for a, b in zip(leaves_x, leaves_y))
+
+
+def tnorm(x):
+    return jnp.sqrt(tvdot(x, x))
+
+
+def taxpy(a, x, y):
+    return jax.tree_util.tree_map(lambda xi, yi: a * xi + yi, x, y)
+
+
+def tscale(a, x):
+    return jax.tree_util.tree_map(lambda xi: a * xi, x)
+
+
+def tsub(x, y):
+    return jax.tree_util.tree_map(lambda a, b: a - b, x, y)
+
+
+def tadd(x, y):
+    return jax.tree_util.tree_map(lambda a, b: a + b, x, y)
+
+
+def tzeros(x):
+    return jax.tree_util.tree_map(jnp.zeros_like, x)
+
+
+def _stack_zeros(x, n):
+    return jax.tree_util.tree_map(
+        lambda l: jnp.zeros((n,) + l.shape, l.dtype), x
+    )
+
+
+def _get(V, i):
+    return jax.tree_util.tree_map(
+        lambda l: lax.dynamic_index_in_dim(l, i, 0, keepdims=False), V
+    )
+
+
+def _set(V, i, x):
+    return jax.tree_util.tree_map(
+        lambda l, xi: lax.dynamic_update_index_in_dim(l, xi, i, 0), V, x
+    )
+
+
+def _identity(x):
+    return x
+
+
+_EPS_BREAKDOWN = 1e-300
+
+
+# ---------------------------------------------------------------------------
+# (F)GMRES
+# ---------------------------------------------------------------------------
+
+
+def _gmres_core(
+    matvec: Op,
+    b,
+    x0,
+    *,
+    tol,
+    maxiter: int,
+    M: Op | None,
+    basis: int,
+    flexible: bool,
+):
+    """Shared GMRES/FGMRES implementation with restarts and Givens updates."""
+    M = M or _identity
+    dtype = jnp.result_type(*[l.dtype for l in jax.tree_util.tree_leaves(b)])
+
+    def initial_residual(x):
+        r = tsub(b, matvec(x))
+        if not flexible:
+            r = M(r)
+        return r
+
+    def cycle(x, iters):
+        """One restart cycle. Returns (x_new, iters, res, converged)."""
+        r = initial_residual(x)
+        beta = tnorm(r)
+        v0 = tscale(1.0 / jnp.maximum(beta, _EPS_BREAKDOWN), r)
+        V = _set(_stack_zeros(r, basis + 1), 0, v0)
+        Z = _stack_zeros(r, basis) if flexible else None
+        R = jnp.zeros((basis + 1, basis), dtype)
+        cs = jnp.zeros(basis, dtype)
+        sn = jnp.zeros(basis, dtype)
+        g = jnp.zeros(basis + 1, dtype).at[0].set(beta)
+
+        def arnoldi_cond(c):
+            V, Z, R, cs, sn, g, j, it, res, done = c
+            return (~done) & (j < basis) & (it < maxiter)
+
+        def arnoldi_body(c):
+            V, Z, R, cs, sn, g, j, it, res, done = c
+            vj = _get(V, j)
+            if flexible:
+                zj = M(vj)
+                Z_new = _set(Z, j, zj)
+                w = matvec(zj)
+            else:
+                Z_new = Z
+                w = M(matvec(vj))
+
+            # modified Gram-Schmidt against v_0..v_j
+            def mgs(i, carry):
+                w, col = carry
+                vi = _get(V, i)
+                h = tvdot(vi, w)
+                return tsub(w, tscale(h, vi)), col.at[i].set(h)
+
+            w, col = lax.fori_loop(0, j + 1, mgs, (w, jnp.zeros(basis + 1, dtype)))
+            hj1 = tnorm(w)
+            col = col.at[j + 1].set(hj1)
+            V_new = _set(V, j + 1, tscale(1.0 / jnp.maximum(hj1, _EPS_BREAKDOWN), w))
+
+            # apply stored Givens rotations to the new column
+            def rot(i, col):
+                a = col[i]
+                bb = col[i + 1]
+                return col.at[i].set(cs[i] * a + sn[i] * bb).at[i + 1].set(
+                    -sn[i] * a + cs[i] * bb
+                )
+
+            col = lax.fori_loop(0, j, rot, col)
+            # new rotation annihilating col[j+1]
+            a, bb = col[j], col[j + 1]
+            denom = jnp.sqrt(a * a + bb * bb)
+            c_new = jnp.where(denom > 0, a / jnp.maximum(denom, _EPS_BREAKDOWN), 1.0)
+            s_new = jnp.where(denom > 0, bb / jnp.maximum(denom, _EPS_BREAKDOWN), 0.0)
+            col = col.at[j].set(c_new * a + s_new * bb).at[j + 1].set(0.0)
+            g_new = (
+                g.at[j].set(c_new * g[j])
+                .at[j + 1].set(-s_new * g[j])
+            )
+            res_new = jnp.abs(g_new[j + 1])
+            R_new = R.at[:, j].set(col[: basis + 1])
+            it_new = it + 1
+            done_new = res_new < tol
+            return (
+                V_new,
+                Z_new,
+                R_new,
+                cs.at[j].set(c_new),
+                sn.at[j].set(s_new),
+                g_new,
+                j + 1,
+                it_new,
+                res_new,
+                done_new,
+            )
+
+        init = (V, Z, R, cs, sn, g, jnp.int32(0), iters, beta, beta < tol)
+        V, Z, R, cs, sn, g, j, iters, res, done = lax.while_loop(
+            arnoldi_cond, arnoldi_body, init
+        )
+
+        # solve the (masked) triangular system R[:j,:j] y = g[:j]
+        idx = jnp.arange(basis)
+        Rj = R[:basis, :basis]
+        Rj = jnp.where((idx[:, None] < j) & (idx[None, :] < j), Rj, 0.0)
+        Rj = Rj + jnp.diag(jnp.where(idx < j, 0.0, 1.0).astype(dtype))
+        gj = jnp.where(idx < j, g[:basis], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rj, gj, lower=False)
+
+        def update(i, x):
+            src = _get(Z, i) if flexible else _get(V, i)
+            return taxpy(y[i], src, x)
+
+        x_new = lax.fori_loop(0, j, update, x)
+        return x_new, iters, res, done
+
+    # initial convergence check (deal.II SolverControl step 0)
+    r0 = initial_residual(x0)
+    beta0 = tnorm(r0)
+
+    def outer_cond(c):
+        x, iters, res, done = c
+        return (~done) & (iters < maxiter)
+
+    def outer_body(c):
+        x, iters, res, done = c
+        return cycle(x, iters)
+
+    x, iters, res, done = lax.while_loop(
+        outer_cond, outer_body, (x0, jnp.int32(0), beta0, beta0 < tol)
+    )
+    return x, SolveInfo(iters=iters, converged=done, resnorm=res)
+
+
+def gmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30):
+    """Left-preconditioned restarted GMRES (deal.II ``SolverGMRES``)."""
+    return _gmres_core(
+        matvec, b, x0, tol=tol, maxiter=maxiter, M=M, basis=basis, flexible=False
+    )
+
+
+def fgmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30):
+    """Flexible (right-preconditioned) GMRES (deal.II ``SolverFGMRES``)."""
+    return _gmres_core(
+        matvec, b, x0, tol=tol, maxiter=maxiter, M=M, basis=basis, flexible=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab
+# ---------------------------------------------------------------------------
+
+
+def bicgstab(matvec, b, x0, *, tol, maxiter=1000, M=None):
+    """Preconditioned BiCGStab (deal.II ``SolverBicgstab``), true-residual check."""
+    M = M or _identity
+    r = tsub(b, matvec(x0))
+    rbar = r
+    res0 = tnorm(r)
+
+    def cond(c):
+        x, r, p, v, rho, alpha, omega, it, res, done, failed = c
+        return (~done) & (~failed) & (it < maxiter)
+
+    def body(c):
+        x, r, p, v, rho, alpha, omega, it, res, done, failed = c
+        rho_new = tvdot(rbar, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p_new = taxpy(beta, tsub(p, tscale(omega, v)), r)
+        y = M(p_new)
+        v_new = matvec(y)
+        denom = tvdot(rbar, v_new)
+        alpha_new = rho_new / denom
+        s = tsub(r, tscale(alpha_new, v_new))
+        z = M(s)
+        t = matvec(z)
+        tt = tvdot(t, t)
+        omega_new = tvdot(t, s) / tt
+        x_new = tadd(x, tadd(tscale(alpha_new, y), tscale(omega_new, z)))
+        r_new = tsub(s, tscale(omega_new, t))
+        res_new = tnorm(r_new)
+        it_new = it + 1
+        failed_new = (
+            (jnp.abs(rho_new) < _EPS_BREAKDOWN)
+            | (jnp.abs(denom) < _EPS_BREAKDOWN)
+            | (jnp.abs(tt) < _EPS_BREAKDOWN)
+            | ~jnp.isfinite(res_new)
+        )
+        return (
+            x_new, r_new, p_new, v_new, rho_new, alpha_new, omega_new,
+            it_new, res_new, res_new < tol, failed_new,
+        )
+
+    one = jnp.asarray(1.0, res0.dtype)
+    init = (
+        x0, r, tzeros(r), tzeros(r), one, one, one,
+        jnp.int32(0), res0, res0 < tol, jnp.bool_(False),
+    )
+    x, r, p, v, rho, alpha, omega, it, res, done, failed = lax.while_loop(
+        cond, body, init
+    )
+    return x, SolveInfo(iters=it, converged=done, resnorm=res)
+
+
+# ---------------------------------------------------------------------------
+# CG
+# ---------------------------------------------------------------------------
+
+
+def cg(matvec, b, x0, *, tol, maxiter=1000, M=None):
+    """Preconditioned CG (deal.II ``SolverCG``), true-residual check."""
+    M = M or _identity
+    r = tsub(b, matvec(x0))
+    res0 = tnorm(r)
+    z = M(r)
+    rz0 = tvdot(r, z)
+
+    def cond(c):
+        x, r, z, d, rz, it, res, done = c
+        return (~done) & (it < maxiter)
+
+    def body(c):
+        x, r, z, d, rz, it, res, done = c
+        q = matvec(d)
+        alpha = rz / tvdot(d, q)
+        x_new = taxpy(alpha, d, x)
+        r_new = taxpy(-alpha, q, r)
+        res_new = tnorm(r_new)
+        z_new = M(r_new)
+        rz_new = tvdot(r_new, z_new)
+        d_new = taxpy(rz_new / rz, d, z_new)
+        return (x_new, r_new, z_new, d_new, rz_new, it + 1, res_new, res_new < tol)
+
+    init = (x0, r, z, z, rz0, jnp.int32(0), res0, res0 < tol)
+    x, r, z, d, rz, it, res, done = lax.while_loop(cond, body, init)
+    return x, SolveInfo(iters=it, converged=done, resnorm=res)

@@ -1,0 +1,125 @@
+"""Device-side discretization data (pytree) built from a host FESpace.
+
+``Disc`` bundles everything the matrix-free kernels need: grid/degree static
+config plus the mask/profile arrays as device data.  It is a pytree, so it can
+be passed through ``jit`` / ``shard_map`` / ``vmap`` boundaries; the
+reference-element tables are *not* stored (they are tiny and rebuilt from the
+static fields via the lru-cached ``make_taylor_hood``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from navier_stokes_solver_tpu.elements import make_taylor_hood
+from navier_stokes_solver_tpu.geometry.channel import (
+    BOUNDARY_CYLINDER,
+    BOUNDARY_OUTLET,
+)
+from navier_stokes_solver_tpu.geometry.space import FESpace
+
+__all__ = ["Disc", "make_disc"]
+
+
+@struct.dataclass
+class Disc:
+    # ---- static config (hashable; part of the jit cache key) ----
+    nx: int = struct.field(pytree_node=False)
+    ny: int = struct.field(pytree_node=False)
+    deg_v: int = struct.field(pytree_node=False)
+    deg_p: int = struct.field(pytree_node=False)
+    n_q1d: int = struct.field(pytree_node=False)
+    hx: float = struct.field(pytree_node=False)
+    hy: float = struct.field(pytree_node=False)
+
+    # ---- device data ----
+    cell_mask: jax.Array  # [ny, nx] dtype; 1.0 on active cells else 0.0
+    u_active: jax.Array  # [NVy, NVx] bool
+    p_active: jax.Array  # [NPy, NPx] bool
+    u_dirichlet: jax.Array  # [NVy, NVx] bool (boundary ids 6, 7, 10)
+    u_inlet: jax.Array  # [NVy, NVx] bool (boundary id 7)
+    inlet_profile1: jax.Array  # [NVy] parabolic profile at u_max = 1
+    neumann_rhs1: jax.Array  # [2, NVy, NVx] outlet Neumann rhs at p_out = 1
+    cyl_face_mask: jax.Array  # [4, ny, nx] dtype; id-10 faces (lift/drag)
+
+    @property
+    def dtype(self):
+        return self.cell_mask.dtype
+
+    @property
+    def tables(self):
+        return make_taylor_hood(self.deg_v, self.deg_p, self.n_q1d)
+
+    @property
+    def NV(self) -> tuple[int, int]:
+        return (self.deg_v * self.ny + 1, self.deg_v * self.nx + 1)
+
+    @property
+    def NP(self) -> tuple[int, int]:
+        return (self.deg_p * self.ny + 1, self.deg_p * self.nx + 1)
+
+    @property
+    def cell_volume(self) -> float:
+        return self.hx * self.hy
+
+
+def _neumann_rhs_unit(space: FESpace) -> np.ndarray:
+    """Outlet Neumann rhs at p_out = 1 (NSSolver.cpp:528-551), host-side.
+
+    cell_rhs(i) -= p_out * (n . phi_i) * JxW_face over boundary-id-8 faces.
+    The term is state independent, so it is precomputed once as a dense
+    velocity-grid array (sign convention: this is the *rhs contribution*,
+    i.e. already negated).
+    """
+    t = space.tables
+    geo = space.geo
+    k = t.deg_v
+    NVy, NVx = space.NVy, space.NVx
+    out = np.zeros((2, NVy, NVx))
+    face_h = [geo.hy, geo.hy, geo.hx, geo.hx]  # face lengths (W, E, S, N)
+    for f in range(4):
+        sel = geo.face_id[f] == BOUNDARY_OUTLET
+        if not sel.any():
+            continue
+        n = t.normals[f]
+        # local contribution: loc[m, c] = -sum_qf w_qf * h_face * n_c * phi_m
+        loc = -np.einsum("q,qm->m", t.w_qf * face_h[f], t.phi_v_face[f])
+        iy, ix = np.nonzero(sel)
+        n1 = k + 1
+        for m in range(n1 * n1):
+            a, b = divmod(m, n1)
+            for c in range(2):
+                if n[c] == 0.0:
+                    continue
+                np.add.at(out[c], (k * iy + a, k * ix + b), loc[m] * n[c])
+    return out
+
+
+def make_disc(space: FESpace, dtype=None) -> Disc:
+    """Lower a host FESpace to device-side discretization data."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    geo = space.geo
+    t = space.tables
+    return Disc(
+        nx=geo.nx,
+        ny=geo.ny,
+        deg_v=t.deg_v,
+        deg_p=t.deg_p,
+        n_q1d=t.n_q1d,
+        hx=geo.hx,
+        hy=geo.hy,
+        cell_mask=jnp.asarray(geo.cell_active, dtype=dtype),
+        u_active=jnp.asarray(space.u_active),
+        p_active=jnp.asarray(space.p_active),
+        u_dirichlet=jnp.asarray(space.u_dirichlet),
+        u_inlet=jnp.asarray(space.u_inlet),
+        inlet_profile1=jnp.asarray(space.inlet_profile(1.0), dtype=dtype),
+        neumann_rhs1=jnp.asarray(_neumann_rhs_unit(space), dtype=dtype),
+        cyl_face_mask=jnp.asarray(
+            geo.face_id == BOUNDARY_CYLINDER, dtype=dtype
+        ),
+    )

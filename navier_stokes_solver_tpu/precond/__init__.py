@@ -1,0 +1,18 @@
+"""Block preconditioners for the Navier-Stokes saddle system.
+
+TPU-native re-designs of the reference's three preconditioners
+(blockDiagonal / blockTriangular / aSIMPLE; NSSolver.hpp:138-384 and the
+stationary variants NSSolverStationary.hpp:115-335), with the exact algebraic
+sweeps and inner-solve tolerances.  The sparse smoothers the reference gets
+from Trilinos (ILU / SSOR / AMG) have no efficient TPU analog; this package
+provides the documented *equivalence layer* (point-Jacobi / Chebyshev today,
+geometric multigrid planned) -- see ``precond.smoothers``.
+"""
+
+from navier_stokes_solver_tpu.precond.blocks import (
+    LinearContext,
+    PrecondConfig,
+    make_preconditioner,
+)
+
+__all__ = ["LinearContext", "PrecondConfig", "make_preconditioner"]

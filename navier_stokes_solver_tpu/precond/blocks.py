@@ -1,0 +1,288 @@
+"""Block preconditioner implementations.
+
+Each ``make_*`` builder returns a ``vmult: Blocks -> Blocks`` callable that is
+pure and jit-compatible (inner Krylov solves are ``lax.while_loop``s).  The
+unsteady and stationary variants differ deliberately in the reference
+(different inner tolerances and smoother choices -- SURVEY.md section 2a.7-9);
+both are reproduced.
+
+Smoother equivalence layer (N10 in SURVEY.md section 2b): the reference's
+Trilinos ``PreconditionILU`` / ``PreconditionSSOR`` / ``PreconditionAMG`` are
+sequential sparse sweeps with no efficient TPU analog.  Here they map to
+point-Jacobi (diagonal) applications; iteration counts of *inner* solves
+therefore differ from the reference while outer Krylov counts stay
+comparable (the inner solves converge to the same tolerances).  This is the
+documented preconditioner-equivalence layer; a geometric-multigrid upgrade
+slots in behind the same interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from navier_stokes_solver_tpu.krylov import bicgstab, cg, fgmres
+from navier_stokes_solver_tpu.krylov.solvers import tnorm
+from navier_stokes_solver_tpu.ops import (
+    Blocks,
+    LinearizationQ,
+    apply_B,
+    apply_Bt,
+    apply_F,
+    apply_Mp,
+    diag_Mp,
+)
+from navier_stokes_solver_tpu.ops.disc import Disc
+
+__all__ = ["LinearContext", "PrecondConfig", "make_preconditioner"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecondConfig:
+    """Equivalence-layer tunables (documented deviations from Trilinos)."""
+
+    # Substitute for a single ILU/SSOR application on the Schur complement in
+    # the unsteady aSIMPLE (NSSolver.hpp:338): a loose matrix-free CG solve.
+    asimple_s_rel_tol: float = 1e-1
+    asimple_s_maxiter: int = 200
+    # Iteration caps for inner solves (the reference uses 1e5..2e6; those are
+    # effectively "unbounded" -- we bound them to keep worst cases finite).
+    inner_maxiter: int = 2000
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearContext:
+    """Everything the preconditioners need about the current linearization.
+
+    Plays the role of the assembled Trilinos blocks handed to
+    ``preconditioner.initialize(...)`` (NSSolver.cpp:607-651), matrix-free.
+    """
+
+    disc: Disc
+    nu: jax.Array | float
+    inv_dt: jax.Array | float
+    stokes: bool  # static regime flag
+    linq: LinearizationQ | None  # Newton linearization state at q-points
+    diag_f: jax.Array  # diag of the (post-BC) velocity block
+
+    # ---- block applies (post boundary elimination, NSSolver.cpp:596) ----
+    def F(self, x_u):
+        return apply_F(
+            self.disc,
+            self.nu,
+            self.inv_dt,
+            self.linq,
+            x_u,
+            stokes=self.stokes,
+            bc_diag=self.diag_f,
+        )
+
+    def B(self, x_u):
+        return apply_B(self.disc, x_u, stokes=self.stokes)
+
+    def Bt(self, x_p):
+        return apply_Bt(self.disc, x_p, zero_dirichlet_rows=True)
+
+    def Mp(self, x_p):
+        return apply_Mp(self.disc, self.nu, x_p)
+
+    def S(self, x_p):
+        """Approximate Schur complement S = B diag(F)^-1 B^T, composed
+        matrix-free (replaces the Trilinos ``mmult`` triple product,
+        NSSolver.hpp:286)."""
+        y = self.B(self.Bt(x_p) / self.diag_f)
+        return jnp.where(self.disc.p_active, y, x_p)
+
+    # ---- smoother equivalence layer ----
+    def jacobi_F(self):
+        dinv = 1.0 / self.diag_f
+        return lambda x: dinv * x
+
+    def jacobi_Mp(self):
+        dinv = 1.0 / diag_Mp(self.disc, self.nu)
+        return lambda x: dinv * x
+
+
+def _zeros_u(ctx: LinearContext):
+    NVy, NVx = ctx.disc.NV
+    return jnp.zeros((2, NVy, NVx), ctx.disc.dtype)
+
+
+def _zeros_p(ctx: LinearContext):
+    return jnp.zeros(ctx.disc.NP, ctx.disc.dtype)
+
+
+# ---------------------------------------------------------------------------
+# blockDiagonal
+# ---------------------------------------------------------------------------
+
+
+def make_block_diagonal(ctx: LinearContext, cfg: PrecondConfig, variant: str):
+    """[A 0; 0 Mp]^-1 approximation via inner solves.
+
+    Unsteady (NSSolver.hpp:154-176): FGMRES(F) and CG(Mp) to *absolute*
+    tolerance 1e-1, ILU-preconditioned.
+    Stationary (NSSolverStationary.hpp:131-153): same solves to *relative*
+    tolerance 1e-1, SSOR-preconditioned.
+    """
+    mf, mp = ctx.jacobi_F(), ctx.jacobi_Mp()
+
+    def vmult(src: Blocks) -> Blocks:
+        if variant == "unsteady":
+            tol_u = jnp.asarray(1e-1, ctx.disc.dtype)
+            tol_p = jnp.asarray(1e-1, ctx.disc.dtype)
+        else:
+            tol_u = 1e-1 * tnorm(src.u)
+            tol_p = 1e-1 * tnorm(src.p)
+        du, _ = fgmres(
+            ctx.F, src.u, _zeros_u(ctx), tol=tol_u, maxiter=cfg.inner_maxiter, M=mf
+        )
+        dp, _ = cg(
+            ctx.Mp, src.p, _zeros_p(ctx), tol=tol_p, maxiter=cfg.inner_maxiter, M=mp
+        )
+        return Blocks(u=du, p=dp)
+
+    return vmult
+
+
+# ---------------------------------------------------------------------------
+# blockTriangular
+# ---------------------------------------------------------------------------
+
+
+def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
+    """Triangular sweep: velocity solve, pressure correction, mass solve.
+
+    Unsteady (NSSolver.hpp:211-237): FGMRES(F) to rel 1e-4, then
+    tmp = src_p - B u, then CG(Mp) to 1e-5 * ||src_p||; ILU smoothers.
+    Stationary (NSSolverStationary.hpp:188-218): rel 1e-2 / 1e-2 with AMG on
+    the velocity block and ILU on the pressure mass.
+    """
+    mf, mp = ctx.jacobi_F(), ctx.jacobi_Mp()
+    rel_u = 1e-4 if variant == "unsteady" else 1e-2
+    rel_p = 1e-5 if variant == "unsteady" else 1e-2
+
+    def vmult(src: Blocks) -> Blocks:
+        du, _ = fgmres(
+            ctx.F,
+            src.u,
+            _zeros_u(ctx),
+            tol=rel_u * tnorm(src.u),
+            maxiter=cfg.inner_maxiter,
+            M=mf,
+        )
+        tmp = src.p - ctx.B(du)
+        dp, _ = cg(
+            ctx.Mp,
+            tmp,
+            _zeros_p(ctx),
+            tol=rel_p * tnorm(src.p),
+            maxiter=cfg.inner_maxiter,
+            M=mp,
+        )
+        return Blocks(u=du, p=dp)
+
+    return vmult
+
+
+# ---------------------------------------------------------------------------
+# aSIMPLE
+# ---------------------------------------------------------------------------
+
+
+def _solve_S(ctx: LinearContext, cfg: PrecondConfig, rhs, tol):
+    """Inner solve with the approximate Schur complement.
+
+    In the Newton regime S = B diag(F)^-1 B^T is (nearly) SPD; in the Stokes
+    regime the continuity sign flip makes it negative definite, so CG runs on
+    -S (a documented deviation: the reference's Trilinos CG/ILU operate on
+    the same sign-indefinite operator and rely on loose tolerances).
+    """
+    if ctx.stokes:
+        op = lambda p: -ctx.S(p)
+        rhs = -rhs
+    else:
+        op = ctx.S
+    dp, info = cg(op, rhs, jnp.zeros_like(rhs), tol=tol, maxiter=cfg.asimple_s_maxiter)
+    return dp
+
+
+def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: float):
+    """SIMPLE-type factorized preconditioner.
+
+    Unsteady (NSSolver.hpp:293-350): pure smoother applications --
+    dst_u = ILU_F(src_u); tmp_p = src_p + B dst_u; dst_p = ILU_S(tmp_p);
+    dst_u *= D; dst_p /= alpha; dst_u -= B^T dst_p; dst_u *= D^-1.
+    (alpha = 0.5 hardcoded at the call site, NSSolver.cpp:645.)
+
+    Stationary (NSSolverStationary.hpp:282-311): inner FGMRES(F) and CG(S)
+    to rel 1e-1, then delta_p *= alpha and the velocity correction
+    u -= D^-1 B^T delta_p; dst_p = delta_p.
+    """
+    mf = ctx.jacobi_F()
+    D = ctx.diag_f
+    Dinv = 1.0 / D
+
+    if variant == "unsteady":
+
+        def vmult(src: Blocks) -> Blocks:
+            du = mf(src.u)  # ILU(F) substitute
+            tmp_p = src.p + ctx.B(du)  # vmult_add (NSSolver.hpp:324)
+            dp = _solve_S(ctx, cfg, tmp_p, tol=cfg.asimple_s_rel_tol * tnorm(tmp_p))
+            du = du * D
+            dp = dp / alpha
+            du = du - ctx.Bt(dp)
+            du = du * Dinv
+            return Blocks(u=du, p=dp)
+
+    else:
+
+        def vmult(src: Blocks) -> Blocks:
+            du, _ = fgmres(
+                ctx.F,
+                src.u,
+                _zeros_u(ctx),
+                tol=1e-1 * tnorm(src.u),
+                maxiter=cfg.inner_maxiter,
+                M=mf,
+            )
+            tmp_p = src.p - ctx.B(du)
+            dp = _solve_S(ctx, cfg, tmp_p, tol=1e-1 * tnorm(tmp_p))
+            dp = dp * alpha
+            du = du - Dinv * ctx.Bt(dp)
+            return Blocks(u=du, p=dp)
+
+    return vmult
+
+
+# ---------------------------------------------------------------------------
+# dispatch (mirrors NSSolver.cpp:607-668)
+# ---------------------------------------------------------------------------
+
+PRECONDITIONER_NAMES = {0: "blockDiagonal", 1: "blockTriangular", 2: "aSIMPLE"}
+
+
+def make_preconditioner(
+    kind: int,
+    ctx: LinearContext,
+    *,
+    variant: str,
+    cfg: PrecondConfig | None = None,
+    alpha: float = 0.5,
+) -> Callable[[Blocks], Blocks]:
+    cfg = cfg or PrecondConfig()
+    if variant not in ("unsteady", "stationary"):
+        raise ValueError(f"unknown variant {variant!r}")
+    if kind == 0:
+        return make_block_diagonal(ctx, cfg, variant)
+    if kind == 1:
+        return make_block_triangular(ctx, cfg, variant)
+    if kind == 2:
+        return make_asimple(ctx, cfg, variant, alpha)
+    raise ValueError(
+        "Invalid preconditioner type. Use 0: blockDiagonal, "
+        "1: blockTriangular, 2: aSIMPLE."
+    )  # NSSolver.cpp:667

@@ -1,0 +1,273 @@
+"""Fused on-device Newton / implicit-Euler stepping.
+
+Differences from the host-driven fidelity path (api.unsteady), by design:
+
+  * no per-step Reynolds continuation ramp -- the fused step solves at the
+    target viscosity directly, warm-started from the previous step (the ramp
+    only matters for cold starts, which ``make_stokes_init`` covers);
+  * Newton, backtracking line search (accept on ||r|| <= prev,
+    NSSolver.cpp:727-742) and the Krylov stagnation break (iters == 0)
+    run inside ``lax.while_loop``s;
+  * lift/drag (NSSolver.cpp:839-938) is computed on device each step and
+    streamed out of ``lax.scan``.
+
+Everything here is ensemble-friendly: ``nu`` / ``dt`` are runtime scalars, so
+``jax.vmap`` over a batch of states + viscosities gives the Reynolds-sweep
+mode.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from navier_stokes_solver_tpu.krylov import bicgstab, fgmres, gmres
+from navier_stokes_solver_tpu.ops import (
+    Blocks,
+    apply_jacobian,
+    diag_F,
+    eval_state,
+    lift_drag_forces,
+    norm,
+    residual,
+)
+from navier_stokes_solver_tpu.ops.disc import Disc
+from navier_stokes_solver_tpu.ops.matfree import dirichlet_values
+from navier_stokes_solver_tpu.precond import LinearContext, make_preconditioner
+
+__all__ = [
+    "TimeState",
+    "StepStats",
+    "initial_state",
+    "make_time_step",
+    "make_stokes_init",
+    "run_time_loop",
+]
+
+_SOLVERS = {0: gmres, 1: fgmres, 2: bicgstab}
+
+
+class StepStats(NamedTuple):
+    newton_iters: jax.Array
+    krylov_iters: jax.Array  # total across Newton iterations
+    final_residual: jax.Array
+
+
+class TimeState(NamedTuple):
+    solution: Blocks
+    time: jax.Array
+    step: jax.Array
+    drag: jax.Array
+    lift: jax.Array
+    stats: StepStats
+
+
+def initial_state(disc: Disc) -> TimeState:
+    NVy, NVx = disc.NV
+    dt = disc.dtype
+    zero = Blocks(
+        u=jnp.zeros((2, NVy, NVx), dt), p=jnp.zeros(disc.NP, dt)
+    )
+    z = jnp.zeros((), dt)
+    return TimeState(
+        solution=zero,
+        time=z,
+        step=jnp.zeros((), jnp.int32),
+        drag=z,
+        lift=z,
+        stats=StepStats(
+            newton_iters=jnp.zeros((), jnp.int32),
+            krylov_iters=jnp.zeros((), jnp.int32),
+            final_residual=z,
+        ),
+    )
+
+
+def _solve_tangent(
+    disc,
+    nu,
+    inv_dt,
+    sol: Blocks,
+    rhs: Blocks,
+    delta0: Blocks,
+    *,
+    stokes,
+    solver_type,
+    prec_type,
+    tol,
+    maxiter,
+    variant="unsteady",
+):
+    linq = None if stokes else eval_state(disc, sol)
+    dF = diag_F(disc, nu, inv_dt, linq, stokes=stokes)
+    ctx = LinearContext(
+        disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF
+    )
+    M = make_preconditioner(prec_type, ctx, variant=variant)
+    A = lambda x: apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
+    return _SOLVERS[solver_type](A, rhs, delta0, tol=tol, maxiter=maxiter, M=M)
+
+
+def make_time_step(
+    disc: Disc,
+    *,
+    solver_type: int = 1,
+    prec_type: int = 1,
+    tol: float = 1e-9,
+    newton_max: int = 10,
+    newton_tol: float = 1e-9,
+    krylov_maxiter: int = 2000,
+):
+    """Build ``step(state, nu, dt) -> TimeState`` (jit/vmap/shard friendly)."""
+
+    def assemble(sol: Blocks, u_old, nu, inv_dt):
+        linq = eval_state(disc, sol)
+        dF = diag_F(disc, nu, inv_dt, linq, stokes=False)
+        rhs = residual(
+            disc, nu, inv_dt, sol, u_old, dF, stokes=False, inlet_amp=0.0
+        )
+        return rhs, norm(rhs)
+
+    def step(ts: TimeState, nu, dt) -> TimeState:
+        inv_dt = 1.0 / dt
+        u_old = ts.solution.u
+
+        rhs0, rn0 = assemble(ts.solution, u_old, nu, inv_dt)
+
+        def newton_cond(c):
+            sol, rhs, rn, prev, n_iter, kry, stall = c
+            return (n_iter < newton_max) & (rn > newton_tol) & (~stall)
+
+        def newton_body(c):
+            sol, rhs, rn, prev, n_iter, kry, stall = c
+            prev = jnp.where(n_iter == 0, rn + 1.0, prev)
+            delta, info = _solve_tangent(
+                disc,
+                nu,
+                inv_dt,
+                sol,
+                rhs,
+                Blocks(u=jnp.zeros_like(sol.u), p=jnp.zeros_like(sol.p)),
+                stokes=False,
+                solver_type=solver_type,
+                prec_type=prec_type,
+                tol=tol,
+                maxiter=krylov_maxiter,
+            )
+            stall = info.iters == 0
+
+            # backtracking line search (NSSolver.cpp:727-742)
+            def ls_cond(l):
+                alpha, best_sol, best_rhs, best_rn, accepted = l
+                return (~accepted) & (alpha > 1e-12)
+
+            def ls_body(l):
+                alpha, _, _, _, _ = l
+                trial = Blocks(
+                    u=sol.u + alpha * delta.u, p=sol.p + alpha * delta.p
+                )
+                t_rhs, t_rn = assemble(trial, u_old, nu, inv_dt)
+                accepted = t_rn <= prev
+                return (alpha * 0.1, trial, t_rhs, t_rn, accepted)
+
+            _, new_sol, new_rhs, new_rn, _ = lax.while_loop(
+                ls_cond, ls_body, (jnp.asarray(1.0, rn.dtype), sol, rhs, rn, False)
+            )
+            return (
+                new_sol,
+                new_rhs,
+                new_rn,
+                new_rn,
+                n_iter + 1,
+                kry + info.iters,
+                stall,
+            )
+
+        sol, rhs, rn, prev, n_iter, kry, stall = lax.while_loop(
+            newton_cond,
+            newton_body,
+            (ts.solution, rhs0, rn0, rn0 + 1.0, jnp.int32(0), jnp.int32(0), False),
+        )
+
+        drag, lift = lift_drag_forces(disc, nu, sol)
+        return TimeState(
+            solution=sol,
+            time=ts.time + dt,
+            step=ts.step + 1,
+            drag=drag,
+            lift=lift,
+            stats=StepStats(
+                newton_iters=n_iter, krylov_iters=kry, final_residual=rn
+            ),
+        )
+
+    return step
+
+
+def make_stokes_init(
+    disc: Disc,
+    *,
+    solver_type: int = 1,
+    prec_type: int = 1,
+    tol: float = 1e-9,
+    krylov_maxiter: int = 2000,
+    inlet_amp: float = 0.3,
+):
+    """Cold-start Stokes solve with the inlet profile lifted (the reference's
+    first Newton iteration of the first time step, NSSolver.cpp:695-706)."""
+
+    def init(nu) -> Blocks:
+        dF = diag_F(disc, nu, 0.0, None, stokes=True)
+        rhs = residual(
+            disc,
+            nu,
+            0.0,
+            None,
+            jnp.zeros((2,) + disc.NV, disc.dtype),
+            dF,
+            stokes=True,
+            inlet_amp=inlet_amp,
+        )
+        g = dirichlet_values(disc, inlet_amp)
+        x0 = Blocks(
+            u=jnp.where(disc.u_dirichlet, g, 0.0),
+            p=jnp.zeros(disc.NP, disc.dtype),
+        )
+        zero = Blocks(u=jnp.zeros_like(x0.u), p=jnp.zeros_like(x0.p))
+        sol, _ = _solve_tangent(
+            disc,
+            nu,
+            0.0,
+            zero,
+            rhs,
+            x0,
+            stokes=True,
+            solver_type=solver_type,
+            prec_type=prec_type,
+            tol=tol,
+            maxiter=krylov_maxiter,
+        )
+        return sol
+
+    return init
+
+
+def run_time_loop(step_fn, ts0: TimeState, nu, dt, n_steps: int):
+    """Run ``n_steps`` implicit-Euler steps as one ``lax.scan``; streams
+    per-step (drag, lift, newton_iters, krylov_iters)."""
+
+    def body(ts, _):
+        ts = step_fn(ts, nu, dt)
+        out = (ts.drag, ts.lift, ts.stats.newton_iters, ts.stats.krylov_iters)
+        return ts, out
+
+    final, (drag, lift, ni, ki) = lax.scan(body, ts0, None, length=n_steps)
+    return final, {
+        "drag": drag,
+        "lift": lift,
+        "newton_iters": ni,
+        "krylov_iters": ki,
+    }

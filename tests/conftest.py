@@ -1,0 +1,33 @@
+"""Test configuration: CPU backend with 8 virtual devices, fp64 enabled.
+
+This is the TPU analog of the reference's missing multi-node test harness
+(SURVEY.md section 4): 'distributed' behavior is validated on a virtual
+8-device CPU mesh via ``--xla_force_host_platform_device_count`` without
+needing a TPU pod.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon TPU plugin overrides JAX_PLATFORMS from the environment; the
+# config update below wins, keeping the test suite on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the nested-Krylov solve kernels are expensive
+# to compile on the single-core CPU; cache them across test sessions.
+jax.config.update("jax_compilation_cache_dir", "/tmp/nstpu_jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import navier_stokes_solver_tpu  # noqa: E402,F401  (enables x64)
