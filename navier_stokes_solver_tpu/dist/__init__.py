@@ -1,20 +1,32 @@
 """Domain decomposition over the TPU device mesh.
 
 The reference's only parallelism is MPI domain decomposition of mesh cells
-with ghost exchange (SURVEY.md section 2c).  The TPU-native equivalent:
-fields are dense lattices sharded along the channel (x) axis of a
-``jax.sharding.Mesh``; XLA's SPMD partitioner turns the stride-slice
-gathers / dilated-pad scatters of the matrix-free kernels into neighbor halo
-exchanges over ICI, and the inner-product reductions into ``psum``
-collectives -- playing the role of Trilinos ``compress()`` ghost exchange and
-MPI allreduces.  An ``ens`` mesh axis provides ensemble (Reynolds-sweep)
-parallelism via ``vmap`` + sharding (BASELINE.json config 5).
+with ghost exchange (SURVEY.md section 2c).  The TPU-native equivalent
+(``dist.halo``): the channel splits into x-tiles of cell columns, one per
+device; each tile stores its node slab with seam columns duplicated (ghost
+DoFs), and the whole solver runs inside ``shard_map`` with explicit
+``lax.ppermute`` seam exchanges (Trilinos ``compress()`` analog) and
+``psum`` reductions (MPI allreduce analog) riding ICI.  An ``ens`` mesh
+axis provides ensemble (Reynolds-sweep) parallelism via ``vmap`` + sharding
+(BASELINE.json config 5).
 """
 
-from navier_stokes_solver_tpu.dist.mesh import (
-    make_mesh,
-    shard_blocks,
-    shard_disc,
+from navier_stokes_solver_tpu.dist.halo import (
+    decompose_disc,
+    device_put_dist,
+    gather_blocks,
+    init_dist_state,
+    make_dist_time_step,
+    scatter_blocks,
 )
+from navier_stokes_solver_tpu.dist.mesh import make_mesh
 
-__all__ = ["make_mesh", "shard_disc", "shard_blocks"]
+__all__ = [
+    "make_mesh",
+    "decompose_disc",
+    "scatter_blocks",
+    "gather_blocks",
+    "init_dist_state",
+    "make_dist_time_step",
+    "device_put_dist",
+]

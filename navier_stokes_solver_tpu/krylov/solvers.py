@@ -114,9 +114,12 @@ def _gmres_core(
     M: Op | None,
     basis: int,
     flexible: bool,
+    dot: Op | None = None,
 ):
     """Shared GMRES/FGMRES implementation with restarts and Givens updates."""
     M = M or _identity
+    dot = dot or tvdot
+    nrm = lambda x: jnp.sqrt(dot(x, x))
     dtype = jnp.result_type(*[l.dtype for l in jax.tree_util.tree_leaves(b)])
 
     def initial_residual(x):
@@ -128,7 +131,7 @@ def _gmres_core(
     def cycle(x, iters):
         """One restart cycle. Returns (x_new, iters, res, converged)."""
         r = initial_residual(x)
-        beta = tnorm(r)
+        beta = nrm(r)
         v0 = tscale(1.0 / jnp.maximum(beta, _EPS_BREAKDOWN), r)
         V = _set(_stack_zeros(r, basis + 1), 0, v0)
         Z = _stack_zeros(r, basis) if flexible else None
@@ -156,11 +159,11 @@ def _gmres_core(
             def mgs(i, carry):
                 w, col = carry
                 vi = _get(V, i)
-                h = tvdot(vi, w)
+                h = dot(vi, w)
                 return tsub(w, tscale(h, vi)), col.at[i].set(h)
 
             w, col = lax.fori_loop(0, j + 1, mgs, (w, jnp.zeros(basis + 1, dtype)))
-            hj1 = tnorm(w)
+            hj1 = nrm(w)
             col = col.at[j + 1].set(hj1)
             V_new = _set(V, j + 1, tscale(1.0 / jnp.maximum(hj1, _EPS_BREAKDOWN), w))
 
@@ -186,7 +189,7 @@ def _gmres_core(
             res_new = jnp.abs(g_new[j + 1])
             R_new = R.at[:, j].set(col[: basis + 1])
             it_new = it + 1
-            done_new = res_new < tol
+            done_new = (res_new <= tol) | ~jnp.isfinite(res_new)
             return (
                 V_new,
                 Z_new,
@@ -200,7 +203,7 @@ def _gmres_core(
                 done_new,
             )
 
-        init = (V, Z, R, cs, sn, g, jnp.int32(0), iters, beta, beta < tol)
+        init = (V, Z, R, cs, sn, g, jnp.int32(0), iters, beta, beta <= tol)
         V, Z, R, cs, sn, g, j, iters, res, done = lax.while_loop(
             arnoldi_cond, arnoldi_body, init
         )
@@ -212,6 +215,7 @@ def _gmres_core(
         Rj = Rj + jnp.diag(jnp.where(idx < j, 0.0, 1.0).astype(dtype))
         gj = jnp.where(idx < j, g[:basis], 0.0)
         y = jax.scipy.linalg.solve_triangular(Rj, gj, lower=False)
+        y = jnp.where(jnp.isfinite(y), y, 0.0)
 
         def update(i, x):
             src = _get(Z, i) if flexible else _get(V, i)
@@ -222,7 +226,7 @@ def _gmres_core(
 
     # initial convergence check (deal.II SolverControl step 0)
     r0 = initial_residual(x0)
-    beta0 = tnorm(r0)
+    beta0 = nrm(r0)
 
     def outer_cond(c):
         x, iters, res, done = c
@@ -233,22 +237,24 @@ def _gmres_core(
         return cycle(x, iters)
 
     x, iters, res, done = lax.while_loop(
-        outer_cond, outer_body, (x0, jnp.int32(0), beta0, beta0 < tol)
+        outer_cond, outer_body, (x0, jnp.int32(0), beta0, beta0 <= tol)
     )
     return x, SolveInfo(iters=iters, converged=done, resnorm=res)
 
 
-def gmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30):
+def gmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30, dot=None):
     """Left-preconditioned restarted GMRES (deal.II ``SolverGMRES``)."""
     return _gmres_core(
-        matvec, b, x0, tol=tol, maxiter=maxiter, M=M, basis=basis, flexible=False
+        matvec, b, x0, tol=tol, maxiter=maxiter, M=M, basis=basis,
+        flexible=False, dot=dot,
     )
 
 
-def fgmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30):
+def fgmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30, dot=None):
     """Flexible (right-preconditioned) GMRES (deal.II ``SolverFGMRES``)."""
     return _gmres_core(
-        matvec, b, x0, tol=tol, maxiter=maxiter, M=M, basis=basis, flexible=True
+        matvec, b, x0, tol=tol, maxiter=maxiter, M=M, basis=basis,
+        flexible=True, dot=dot,
     )
 
 
@@ -257,12 +263,14 @@ def fgmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30):
 # ---------------------------------------------------------------------------
 
 
-def bicgstab(matvec, b, x0, *, tol, maxiter=1000, M=None):
+def bicgstab(matvec, b, x0, *, tol, maxiter=1000, M=None, dot=None):
     """Preconditioned BiCGStab (deal.II ``SolverBicgstab``), true-residual check."""
     M = M or _identity
+    dot = dot or tvdot
+    nrm = lambda x: jnp.sqrt(dot(x, x))
     r = tsub(b, matvec(x0))
     rbar = r
-    res0 = tnorm(r)
+    res0 = nrm(r)
 
     def cond(c):
         x, r, p, v, rho, alpha, omega, it, res, done, failed = c
@@ -270,21 +278,21 @@ def bicgstab(matvec, b, x0, *, tol, maxiter=1000, M=None):
 
     def body(c):
         x, r, p, v, rho, alpha, omega, it, res, done, failed = c
-        rho_new = tvdot(rbar, r)
+        rho_new = dot(rbar, r)
         beta = (rho_new / rho) * (alpha / omega)
         p_new = taxpy(beta, tsub(p, tscale(omega, v)), r)
         y = M(p_new)
         v_new = matvec(y)
-        denom = tvdot(rbar, v_new)
+        denom = dot(rbar, v_new)
         alpha_new = rho_new / denom
         s = tsub(r, tscale(alpha_new, v_new))
         z = M(s)
         t = matvec(z)
-        tt = tvdot(t, t)
-        omega_new = tvdot(t, s) / tt
+        tt = dot(t, t)
+        omega_new = dot(t, s) / tt
         x_new = tadd(x, tadd(tscale(alpha_new, y), tscale(omega_new, z)))
         r_new = tsub(s, tscale(omega_new, t))
-        res_new = tnorm(r_new)
+        res_new = nrm(r_new)
         it_new = it + 1
         failed_new = (
             (jnp.abs(rho_new) < _EPS_BREAKDOWN)
@@ -292,15 +300,23 @@ def bicgstab(matvec, b, x0, *, tol, maxiter=1000, M=None):
             | (jnp.abs(tt) < _EPS_BREAKDOWN)
             | ~jnp.isfinite(res_new)
         )
+        # freeze the iterate on breakdown (keep the best finite state)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda ai, bi: jnp.where(failed_new, bi, ai), a, b
+        )
+        x_new, r_new, p_new, v_new = (
+            sel(x_new, x), sel(r_new, r), sel(p_new, p), sel(v_new, v)
+        )
+        res_new = jnp.where(failed_new, res, res_new)
         return (
             x_new, r_new, p_new, v_new, rho_new, alpha_new, omega_new,
-            it_new, res_new, res_new < tol, failed_new,
+            it_new, res_new, res_new <= tol, failed_new,
         )
 
     one = jnp.asarray(1.0, res0.dtype)
     init = (
         x0, r, tzeros(r), tzeros(r), one, one, one,
-        jnp.int32(0), res0, res0 < tol, jnp.bool_(False),
+        jnp.int32(0), res0, res0 <= tol, jnp.bool_(False),
     )
     x, r, p, v, rho, alpha, omega, it, res, done, failed = lax.while_loop(
         cond, body, init
@@ -313,13 +329,15 @@ def bicgstab(matvec, b, x0, *, tol, maxiter=1000, M=None):
 # ---------------------------------------------------------------------------
 
 
-def cg(matvec, b, x0, *, tol, maxiter=1000, M=None):
+def cg(matvec, b, x0, *, tol, maxiter=1000, M=None, dot=None):
     """Preconditioned CG (deal.II ``SolverCG``), true-residual check."""
     M = M or _identity
+    dot = dot or tvdot
+    nrm = lambda x: jnp.sqrt(dot(x, x))
     r = tsub(b, matvec(x0))
-    res0 = tnorm(r)
+    res0 = nrm(r)
     z = M(r)
-    rz0 = tvdot(r, z)
+    rz0 = dot(r, z)
 
     def cond(c):
         x, r, z, d, rz, it, res, done = c
@@ -328,15 +346,30 @@ def cg(matvec, b, x0, *, tol, maxiter=1000, M=None):
     def body(c):
         x, r, z, d, rz, it, res, done = c
         q = matvec(d)
-        alpha = rz / tvdot(d, q)
+        dq = dot(d, q)
+        alpha = rz / dq
         x_new = taxpy(alpha, d, x)
         r_new = taxpy(-alpha, q, r)
-        res_new = tnorm(r_new)
+        res_new = nrm(r_new)
         z_new = M(r_new)
-        rz_new = tvdot(r_new, z_new)
+        rz_new = dot(r_new, z_new)
         d_new = taxpy(rz_new / rz, d, z_new)
-        return (x_new, r_new, z_new, d_new, rz_new, it + 1, res_new, res_new < tol)
+        # breakdown guard: on a vanishing curvature or non-finite update,
+        # freeze the iterate (best achievable) and stop.
+        ok = jnp.isfinite(res_new) & (jnp.abs(dq) > _EPS_BREAKDOWN)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda ai, bi: jnp.where(ok, ai, bi), a, b
+        )
+        x_new, r_new, z_new, d_new = (
+            sel(x_new, x), sel(r_new, r), sel(z_new, z), sel(d_new, d)
+        )
+        res_new = jnp.where(ok, res_new, res)
+        rz_new = jnp.where(ok, rz_new, rz)
+        return (
+            x_new, r_new, z_new, d_new, rz_new, it + 1, res_new,
+            (res_new <= tol) | ~ok,
+        )
 
-    init = (x0, r, z, z, rz0, jnp.int32(0), res0, res0 < tol)
+    init = (x0, r, z, z, rz0, jnp.int32(0), res0, res0 <= tol)
     x, r, z, d, rz, it, res, done = lax.while_loop(cond, body, init)
     return x, SolveInfo(iters=it, converged=done, resnorm=res)

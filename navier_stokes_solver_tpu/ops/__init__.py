@@ -27,6 +27,7 @@ from navier_stokes_solver_tpu.ops.matfree import (
     diag_Mp,
     eval_state,
     lift_drag_forces,
+    make_dot,
     residual,
 )
 
@@ -50,4 +51,5 @@ __all__ = [
     "diag_F",
     "diag_Mp",
     "lift_drag_forces",
+    "make_dot",
 ]

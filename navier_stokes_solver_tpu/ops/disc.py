@@ -45,6 +45,13 @@ class Disc:
     neumann_rhs1: jax.Array  # [2, NVy, NVx] outlet Neumann rhs at p_out = 1
     cyl_face_mask: jax.Array  # [4, ny, nx] dtype; id-10 faces (lift/drag)
 
+    # Domain decomposition (dist/halo.py): when ``halo_axis`` is set, this
+    # Disc describes ONE tile of a 1-D x-decomposition running inside
+    # ``shard_map``; lattice scatters exchange seam-column partial sums with
+    # neighbors over the named mesh axis and reductions ``psum`` over it.
+    halo_axis: str | None = struct.field(pytree_node=False, default=None)
+    halo_n: int = struct.field(pytree_node=False, default=1)
+
     @property
     def dtype(self):
         return self.cell_mask.dtype

@@ -55,6 +55,7 @@ __all__ = [
     "diag_F",
     "diag_Mp",
     "lift_drag_forces",
+    "make_dot",
 ]
 
 
@@ -106,6 +107,34 @@ def _scatter(loc: jax.Array, k: int, ny: int, nx: int) -> jax.Array:
     return out
 
 
+def _seam_sum(disc: Disc, y: jax.Array) -> jax.Array:
+    """Sum seam-column partial scatters with the x-neighbors' copies.
+
+    Under the 1-D domain decomposition each tile duplicates its boundary
+    lattice columns with its neighbors; cell-local scatter produces only the
+    partial sum from locally-owned cells.  Two ``ppermute`` ring exchanges
+    over ICI (the analog of Trilinos ``compress(add)`` ghost exchange,
+    NSSolver.cpp:560-562) complete the sum and leave both copies consistent.
+    """
+    if disc.halo_axis is None or disc.halo_n == 1:
+        return y
+    n = disc.halo_n
+    left_edge = y[..., :1]
+    right_edge = y[..., -1:]
+    perm_r = [(i, i + 1) for i in range(n - 1)]
+    perm_l = [(i + 1, i) for i in range(n - 1)]
+    from_left = jax.lax.ppermute(right_edge, disc.halo_axis, perm_r)
+    from_right = jax.lax.ppermute(left_edge, disc.halo_axis, perm_l)
+    return jnp.concatenate(
+        [
+            y[..., :1] + from_left,
+            y[..., 1:-1],
+            y[..., -1:] + from_right,
+        ],
+        axis=-1,
+    )
+
+
 def _gather_v(disc: Disc, u: jax.Array) -> jax.Array:
     return _gather(u, disc.deg_v, disc.ny, disc.nx)  # [n_v, 2, ny, nx]
 
@@ -115,11 +144,45 @@ def _gather_p(disc: Disc, p: jax.Array) -> jax.Array:
 
 
 def _scatter_v(disc: Disc, loc: jax.Array) -> jax.Array:
-    return _scatter(loc, disc.deg_v, disc.ny, disc.nx)
+    return _seam_sum(disc, _scatter(loc, disc.deg_v, disc.ny, disc.nx))
 
 
 def _scatter_p(disc: Disc, loc: jax.Array) -> jax.Array:
-    return _scatter(loc, disc.deg_p, disc.ny, disc.nx)
+    return _seam_sum(disc, _scatter(loc, disc.deg_p, disc.ny, disc.nx))
+
+
+def _seam_weight(disc: Disc, width: int) -> jax.Array:
+    """Per-column inner-product weight: duplicated seam columns count 1/2 on
+    each of the two tiles sharing them (exact in floating point)."""
+    idx = jax.lax.axis_index(disc.halo_axis)
+    w = jnp.ones((width,), disc.dtype)
+    w = w.at[0].set(jnp.where(idx == 0, 1.0, 0.5))
+    w = w.at[-1].set(jnp.where(idx == disc.halo_n - 1, 1.0, 0.5))
+    return w
+
+
+def make_dot(disc: Disc):
+    """Inner product over (possibly tile-local) lattice pytrees.
+
+    Single tile: plain ``vdot``.  Distributed: seam-weighted local sum +
+    ``psum`` over the mesh axis (the analog of Trilinos dot-product
+    allreduces inside Krylov, SURVEY.md section 5)."""
+    if disc.halo_axis is None or disc.halo_n == 1:
+        from navier_stokes_solver_tpu.krylov.solvers import tvdot
+
+        return tvdot
+
+    wv = _seam_weight(disc, disc.deg_v * disc.nx + 1)
+    wp = _seam_weight(disc, disc.deg_p * disc.nx + 1)
+
+    def dot(x, y):
+        s = jnp.zeros((), disc.dtype)
+        for a, b in zip(jax.tree_util.tree_leaves(x), jax.tree_util.tree_leaves(y)):
+            w = wv if a.shape[-1] == wv.shape[0] else wp
+            s = s + jnp.sum(a * b * w)
+        return jax.lax.psum(s, disc.halo_axis)
+
+    return dot
 
 
 # ---------------------------------------------------------------------------
@@ -471,4 +534,7 @@ def lift_drag_forces(disc: Disc, nu, st: Blocks) -> tuple[jax.Array, jax.Array]:
         force = -jnp.einsum("qcdyx,d,q->cyx", sig, n, wf)
         drag = drag + jnp.sum(force[0] * mask)
         lift = lift + jnp.sum(force[1] * mask)
+    if disc.halo_axis is not None and disc.halo_n > 1:
+        drag = jax.lax.psum(drag, disc.halo_axis)
+        lift = jax.lax.psum(lift, disc.halo_axis)
     return drag, lift

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from navier_stokes_solver_tpu.krylov import bicgstab, cg, fgmres
-from navier_stokes_solver_tpu.krylov.solvers import tnorm
+from navier_stokes_solver_tpu.ops.matfree import make_dot
 from navier_stokes_solver_tpu.ops import (
     Blocks,
     LinearizationQ,
@@ -96,6 +96,14 @@ class LinearContext:
         y = self.B(self.Bt(x_p) / self.diag_f)
         return jnp.where(self.disc.p_active, y, x_p)
 
+    # ---- seam-weighted inner product (distributed-safe) ----
+    def dot(self):
+        return make_dot(self.disc)
+
+    def norm(self):
+        dot = self.dot()
+        return lambda x: jnp.sqrt(dot(x, x))
+
     # ---- smoother equivalence layer ----
     def jacobi_F(self):
         dinv = 1.0 / self.diag_f
@@ -129,19 +137,22 @@ def make_block_diagonal(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     tolerance 1e-1, SSOR-preconditioned.
     """
     mf, mp = ctx.jacobi_F(), ctx.jacobi_Mp()
+    dot, nrm = ctx.dot(), ctx.norm()
 
     def vmult(src: Blocks) -> Blocks:
         if variant == "unsteady":
             tol_u = jnp.asarray(1e-1, ctx.disc.dtype)
             tol_p = jnp.asarray(1e-1, ctx.disc.dtype)
         else:
-            tol_u = 1e-1 * tnorm(src.u)
-            tol_p = 1e-1 * tnorm(src.p)
+            tol_u = 1e-1 * nrm(src.u)
+            tol_p = 1e-1 * nrm(src.p)
         du, _ = fgmres(
-            ctx.F, src.u, _zeros_u(ctx), tol=tol_u, maxiter=cfg.inner_maxiter, M=mf
+            ctx.F, src.u, _zeros_u(ctx), tol=tol_u, maxiter=cfg.inner_maxiter,
+            M=mf, dot=dot,
         )
         dp, _ = cg(
-            ctx.Mp, src.p, _zeros_p(ctx), tol=tol_p, maxiter=cfg.inner_maxiter, M=mp
+            ctx.Mp, src.p, _zeros_p(ctx), tol=tol_p, maxiter=cfg.inner_maxiter,
+            M=mp, dot=dot,
         )
         return Blocks(u=du, p=dp)
 
@@ -162,6 +173,7 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     the velocity block and ILU on the pressure mass.
     """
     mf, mp = ctx.jacobi_F(), ctx.jacobi_Mp()
+    dot, nrm = ctx.dot(), ctx.norm()
     rel_u = 1e-4 if variant == "unsteady" else 1e-2
     rel_p = 1e-5 if variant == "unsteady" else 1e-2
 
@@ -170,18 +182,24 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
             ctx.F,
             src.u,
             _zeros_u(ctx),
-            tol=rel_u * tnorm(src.u),
+            tol=rel_u * nrm(src.u),
             maxiter=cfg.inner_maxiter,
             M=mf,
+            dot=dot,
         )
         tmp = src.p - ctx.B(du)
+        # The reference keys this tolerance off ||src.p|| (NSSolver.hpp:228)
+        # while solving with rhs ``tmp``; when src.p == 0 that is tol = 0 on
+        # a nonzero system -- floor it at machine precision of the rhs.
+        eps = jnp.finfo(ctx.disc.dtype).eps
         dp, _ = cg(
             ctx.Mp,
             tmp,
             _zeros_p(ctx),
-            tol=rel_p * tnorm(src.p),
+            tol=jnp.maximum(rel_p * nrm(src.p), 100.0 * eps * nrm(tmp)),
             maxiter=cfg.inner_maxiter,
             M=mp,
+            dot=dot,
         )
         return Blocks(u=du, p=dp)
 
@@ -206,7 +224,10 @@ def _solve_S(ctx: LinearContext, cfg: PrecondConfig, rhs, tol):
         rhs = -rhs
     else:
         op = ctx.S
-    dp, info = cg(op, rhs, jnp.zeros_like(rhs), tol=tol, maxiter=cfg.asimple_s_maxiter)
+    dp, info = cg(
+        op, rhs, jnp.zeros_like(rhs), tol=tol, maxiter=cfg.asimple_s_maxiter,
+        dot=make_dot(ctx.disc),
+    )
     return dp
 
 
@@ -223,6 +244,7 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
     u -= D^-1 B^T delta_p; dst_p = delta_p.
     """
     mf = ctx.jacobi_F()
+    dot, nrm = ctx.dot(), ctx.norm()
     D = ctx.diag_f
     Dinv = 1.0 / D
 
@@ -231,7 +253,7 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
         def vmult(src: Blocks) -> Blocks:
             du = mf(src.u)  # ILU(F) substitute
             tmp_p = src.p + ctx.B(du)  # vmult_add (NSSolver.hpp:324)
-            dp = _solve_S(ctx, cfg, tmp_p, tol=cfg.asimple_s_rel_tol * tnorm(tmp_p))
+            dp = _solve_S(ctx, cfg, tmp_p, tol=cfg.asimple_s_rel_tol * nrm(tmp_p))
             du = du * D
             dp = dp / alpha
             du = du - ctx.Bt(dp)
@@ -245,12 +267,13 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
                 ctx.F,
                 src.u,
                 _zeros_u(ctx),
-                tol=1e-1 * tnorm(src.u),
+                tol=1e-1 * nrm(src.u),
                 maxiter=cfg.inner_maxiter,
                 M=mf,
+                dot=dot,
             )
             tmp_p = src.p - ctx.B(du)
-            dp = _solve_S(ctx, cfg, tmp_p, tol=1e-1 * tnorm(tmp_p))
+            dp = _solve_S(ctx, cfg, tmp_p, tol=1e-1 * nrm(tmp_p))
             dp = dp * alpha
             du = du - Dinv * ctx.Bt(dp)
             return Blocks(u=du, p=dp)

@@ -31,7 +31,7 @@ from navier_stokes_solver_tpu.ops import (
     diag_F,
     eval_state,
     lift_drag_forces,
-    norm,
+    make_dot,
     residual,
 )
 from navier_stokes_solver_tpu.ops.disc import Disc
@@ -108,7 +108,9 @@ def _solve_tangent(
     )
     M = make_preconditioner(prec_type, ctx, variant=variant)
     A = lambda x: apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
-    return _SOLVERS[solver_type](A, rhs, delta0, tol=tol, maxiter=maxiter, M=M)
+    return _SOLVERS[solver_type](
+        A, rhs, delta0, tol=tol, maxiter=maxiter, M=M, dot=make_dot(disc)
+    )
 
 
 def make_time_step(
@@ -124,12 +126,13 @@ def make_time_step(
     """Build ``step(state, nu, dt) -> TimeState`` (jit/vmap/shard friendly)."""
 
     def assemble(sol: Blocks, u_old, nu, inv_dt):
+        dot = make_dot(disc)
         linq = eval_state(disc, sol)
         dF = diag_F(disc, nu, inv_dt, linq, stokes=False)
         rhs = residual(
             disc, nu, inv_dt, sol, u_old, dF, stokes=False, inlet_amp=0.0
         )
-        return rhs, norm(rhs)
+        return rhs, jnp.sqrt(dot(rhs, rhs))
 
     def step(ts: TimeState, nu, dt) -> TimeState:
         inv_dt = 1.0 / dt

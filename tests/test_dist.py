@@ -1,0 +1,112 @@
+"""Distributed (shard_map + halo exchange) vs single-chip equivalence.
+
+The TPU analog of multi-node testing (SURVEY.md section 4): the same fused
+time step runs on one device and on a virtual 8-device CPU mesh with real
+1-D domain decomposition; fields must agree to solver tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_solver_tpu.dist import (
+    decompose_disc,
+    device_put_dist,
+    gather_blocks,
+    init_dist_state,
+    make_dist_time_step,
+    make_mesh,
+    scatter_blocks,
+)
+from navier_stokes_solver_tpu.geometry import make_channel_geometry, make_fe_space
+from navier_stokes_solver_tpu.ops import Blocks, make_disc
+from navier_stokes_solver_tpu.timeloop import initial_state, make_time_step
+
+
+def _disc(nx=32, ny=12):
+    return make_disc(make_fe_space(make_channel_geometry(nx, ny), 2, 1))
+
+
+def test_decompose_gather_roundtrip():
+    disc = _disc()
+    sdisc = decompose_disc(disc, 4)
+    rng = np.random.default_rng(0)
+    x = Blocks(
+        u=jnp.asarray(rng.standard_normal((2,) + disc.NV)),
+        p=jnp.asarray(rng.standard_normal(disc.NP)),
+    )
+    xs = scatter_blocks(x, sdisc)
+    back = gather_blocks(xs, sdisc)
+    np.testing.assert_array_equal(np.asarray(back.u), np.asarray(x.u))
+    np.testing.assert_array_equal(np.asarray(back.p), np.asarray(x.p))
+
+
+def test_decompose_requires_divisibility():
+    disc = _disc(30, 12)
+    with pytest.raises(ValueError):
+        decompose_disc(disc, 4)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_dist_step_matches_single_chip(n_dev):
+    disc = _disc()
+    kw = dict(solver_type=1, prec_type=2, tol=1e-10, newton_max=3, krylov_maxiter=300)
+
+    step = make_time_step(disc, **kw)
+    ts = jax.jit(step)(initial_state(disc), 0.01, 0.01)
+
+    mesh = make_mesh(n_x=n_dev, devices=jax.devices()[:n_dev])
+    sdisc = device_put_dist(decompose_disc(disc, n_dev), mesh)
+    dstep = make_dist_time_step(sdisc, mesh, **kw)
+    tsd = jax.jit(dstep)(device_put_dist(init_dist_state(sdisc), mesh), 0.01, 0.01)
+
+    assert int(tsd.step[0]) == 1
+    sol = gather_blocks(tsd.solution, sdisc)
+    # iterative solves at tol 1e-10; different reduction orders shift the
+    # Krylov trajectory slightly
+    np.testing.assert_allclose(
+        np.asarray(sol.u), np.asarray(ts.solution.u), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.p), np.asarray(ts.solution.p), atol=1e-6
+    )
+    np.testing.assert_allclose(float(tsd.drag[0]), float(ts.drag), atol=1e-7)
+    np.testing.assert_allclose(float(tsd.lift[0]), float(ts.lift), atol=1e-7)
+
+
+def test_seam_weighted_dot_matches_global():
+    from navier_stokes_solver_tpu.ops.matfree import make_dot
+
+    disc = _disc()
+    n = 4
+    mesh = make_mesh(n_x=n, devices=jax.devices()[:n])
+    sdisc = decompose_disc(disc, n)
+    rng = np.random.default_rng(1)
+    x = Blocks(
+        u=jnp.asarray(rng.standard_normal((2,) + disc.NV)),
+        p=jnp.asarray(rng.standard_normal(disc.NP)),
+    )
+    xs = scatter_blocks(x, sdisc)
+    expected = float(jnp.vdot(x.u, x.u) + jnp.vdot(x.p, x.p))
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+
+    def local(disc_sh, xs_sh):
+        tile = jax.tree_util.tree_map(lambda a: a[0], disc_sh)
+        xt = jax.tree_util.tree_map(lambda a: a[0], xs_sh)
+        return make_dot(tile)(xt, xt)
+
+    got = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("x"), P("x")),
+        out_specs=P(),
+        check_vma=False,
+    )(sdisc, xs)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-12)

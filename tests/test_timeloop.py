@@ -1,0 +1,57 @@
+"""Fused on-device time stepping: convergence, robustness, scan loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_solver_tpu.geometry import make_channel_geometry, make_fe_space
+from navier_stokes_solver_tpu.ops import make_disc
+from navier_stokes_solver_tpu.timeloop import (
+    initial_state,
+    make_time_step,
+    run_time_loop,
+)
+
+
+def _disc(nx=24, ny=10):
+    return make_disc(make_fe_space(make_channel_geometry(nx, ny), 2, 1))
+
+
+def test_fused_step_converges_asimple():
+    disc = _disc()
+    step = make_time_step(
+        disc, solver_type=1, prec_type=2, tol=1e-10, newton_max=5, krylov_maxiter=300
+    )
+    ts = jax.jit(step)(initial_state(disc), 0.01, 0.01)
+    assert int(ts.step) == 1
+    assert float(ts.stats.final_residual) < 1e-9
+    assert np.isfinite(float(ts.drag))
+    assert np.isfinite(float(ts.lift))
+
+
+@pytest.mark.parametrize("prec", [0, 1])
+def test_fused_step_finite_all_preconditioners(prec):
+    """Regression: the first Newton step from a zero state has a zero
+    pressure rhs; inner solves with relative tolerance 0 used to run to
+    breakdown and poison the solve with NaNs."""
+    disc = _disc(16, 8)
+    step = make_time_step(
+        disc, solver_type=1, prec_type=prec, tol=1e-6, newton_max=2, krylov_maxiter=50
+    )
+    ts = jax.jit(step)(initial_state(disc), 0.01, 0.01)
+    assert np.isfinite(float(ts.stats.final_residual))
+    assert np.isfinite(float(jnp.abs(ts.solution.u).max()))
+    assert np.isfinite(float(jnp.abs(ts.solution.p).max()))
+
+
+def test_run_time_loop_streams_history():
+    disc = _disc(16, 8)
+    step = make_time_step(
+        disc, solver_type=1, prec_type=2, tol=1e-8, newton_max=3, krylov_maxiter=200
+    )
+    final, hist = run_time_loop(step, initial_state(disc), 0.01, 0.01, 3)
+    assert int(final.step) == 3
+    assert hist["drag"].shape == (3,)
+    assert np.all(np.isfinite(np.asarray(hist["drag"])))
+    assert np.all(np.isfinite(np.asarray(hist["lift"])))
