@@ -33,4 +33,16 @@ if not os.environ.get("NSTPU_DISABLE_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the nested-Krylov programs are large and the
+# (remote) TPU compiler is slow; cache compiled executables across processes.
+if not os.environ.get("NSTPU_DISABLE_COMPILE_CACHE"):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("NSTPU_CACHE_DIR", "/tmp/nstpu_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 __version__ = "0.1.0"

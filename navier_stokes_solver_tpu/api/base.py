@@ -35,6 +35,7 @@ class SolverOptions:
     read_mesh_from_file: bool = False  # -M (switches degrees to 2,1)
     mesh_file_name: str = ""
     alpha: float = 0.5  # aSIMPLE damping (hardcoded, NSSolver.cpp:645)
+    multigrid: bool = True  # geometric-MG velocity smoother (AMG/ILU analog)
     dtype: Any = None  # default: f64 when x64 enabled
     verbose: bool = True
     write_output: bool = False  # VTU snapshots (reference writes always)
@@ -82,6 +83,10 @@ class NSSolverBase:
         self.geo = make_channel_geometry(*o.mesh_size)
         self.space = make_fe_space(self.geo, o.degree_velocity, o.degree_pressure)
         self.disc = make_disc(self.space, o.dtype)
+        if o.multigrid:
+            from navier_stokes_solver_tpu.precond.mg import attach_mg
+
+            self.disc = attach_mg(self.disc)
         self.log(f"  Number of elements = {self.geo.n_active_cells}")
         self.log("-----------------------------------------------")
         self.log("Initializing the finite element space")

@@ -80,7 +80,8 @@ def solve_kernel(
     linq = None if stokes else eval_state(disc, st)
     dF = diag_F(disc, nu, inv_dt, linq, stokes=stokes)
     ctx = LinearContext(
-        disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF
+        disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF,
+        state_u=None if stokes else st.u,
     )
     M = make_preconditioner(prec_type, ctx, variant=variant)
 

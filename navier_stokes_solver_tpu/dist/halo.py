@@ -96,6 +96,7 @@ def decompose_disc(disc: Disc, n_dev: int, axis: str = "x") -> Disc:
         nx=nxl,
         halo_axis=axis,
         halo_n=n_dev,
+        mg=None,  # multigrid chain is single-tile; tiles fall back to Jacobi
         cell_mask=jnp.asarray(cell(disc.cell_mask)),
         u_active=jnp.asarray(lat(disc.u_active, kv)),
         p_active=jnp.asarray(lat(disc.p_active, kp)),

@@ -1,8 +1,12 @@
-"""gmsh MSH2 export of the structured channel mesh.
+"""gmsh MSH2 import/export of meshes.
 
-Equivalent of the reference's ``GridOut::write_msh(mesh, "mesh.msh")``
+Export: equivalent of the reference's ``GridOut::write_msh(mesh, "mesh.msh")``
 (NSSolver.cpp:108-110): quad elements with the boundary edges tagged with
 their physical ids (6 wall, 7 inlet, 8 outlet, 10 cylinder).
+
+Import: equivalent of ``GridIn::read_msh`` used by the ``-M`` CLI path
+(NSSolver.cpp:155-161); the C++ parser in ``native/`` is used when
+available, with a pure-Python fallback.
 """
 
 from __future__ import annotations
@@ -11,7 +15,62 @@ import numpy as np
 
 from navier_stokes_solver_tpu.geometry.channel import ChannelGeometry, INTERIOR
 
-__all__ = ["write_msh"]
+__all__ = ["write_msh", "read_msh"]
+
+
+def _read_msh_python(path: str) -> dict:
+    """Minimal MSH2 parser (nodes + line/tri/quad elements, physical tags)."""
+    nodes_xy = []
+    node_ids = []
+    tri, tri_tag, quad, quad_tag, edges, edge_tag = [], [], [], [], [], []
+    with open(path) as f:
+        lines = iter(f)
+        for line in lines:
+            if line.startswith("$Nodes"):
+                n = int(next(lines))
+                for _ in range(n):
+                    parts = next(lines).split()
+                    node_ids.append(int(parts[0]))
+                    nodes_xy.append((float(parts[1]), float(parts[2])))
+            elif line.startswith("$Elements"):
+                id_map = {g: i for i, g in enumerate(node_ids)}
+                n = int(next(lines))
+                for _ in range(n):
+                    parts = next(lines).split()
+                    etype = int(parts[1])
+                    ntags = int(parts[2])
+                    tag = int(parts[3]) if ntags else 0
+                    verts = [id_map[int(v)] for v in parts[3 + ntags :]]
+                    if etype == 1:
+                        edges.append(verts)
+                        edge_tag.append(tag)
+                    elif etype == 2:
+                        tri.append(verts)
+                        tri_tag.append(tag)
+                    elif etype == 3:
+                        quad.append(verts)
+                        quad_tag.append(tag)
+    return dict(
+        nodes_xy=np.asarray(nodes_xy, dtype=np.float64).reshape(-1, 2),
+        tri=np.asarray(tri, dtype=np.int32).reshape(-1, 3),
+        tri_tag=np.asarray(tri_tag, dtype=np.int32),
+        quad=np.asarray(quad, dtype=np.int32).reshape(-1, 4),
+        quad_tag=np.asarray(quad_tag, dtype=np.int32),
+        edges=np.asarray(edges, dtype=np.int32).reshape(-1, 2),
+        edge_tag=np.asarray(edge_tag, dtype=np.int32),
+    )
+
+
+def read_msh(path: str) -> dict:
+    """Parse a gmsh MSH2 file (C++ fast path, Python fallback).
+
+    Returns dict(nodes_xy [n,2], tri [t,3], tri_tag, quad [q,4], quad_tag,
+    edges [e,2], edge_tag) with 0-based connectivity.
+    """
+    from navier_stokes_solver_tpu.native import read_msh_native
+
+    out = read_msh_native(path)
+    return out if out is not None else _read_msh_python(path)
 
 
 def write_msh(geo: ChannelGeometry, path: str) -> str:

@@ -80,6 +80,12 @@ def write_vtu(
     else:
         partitioning = np.asarray(partitioning, dtype=np.float64)[act]
 
+    # C++ fast path (native/), same file layout; fall back to pure Python.
+    from navier_stokes_solver_tpu.native import write_vtu_native
+
+    if write_vtu_native(path, points, conn, vel, pres, partitioning):
+        return path
+
     parts = []
     parts.append('<?xml version="1.0"?>')
     parts.append(

@@ -21,7 +21,7 @@ from navier_stokes_solver_tpu.geometry.channel import (
 )
 from navier_stokes_solver_tpu.geometry.space import FESpace
 
-__all__ = ["Disc", "make_disc"]
+__all__ = ["Disc", "MGEdge", "make_disc"]
 
 
 @struct.dataclass
@@ -52,6 +52,12 @@ class Disc:
     halo_axis: str | None = struct.field(pytree_node=False, default=None)
     halo_n: int = struct.field(pytree_node=False, default=1)
 
+    # Geometric-multigrid chain (precond/mg.py): link to the next-coarser
+    # rediscretized level plus velocity-lattice transfer operators.  ``None``
+    # on the coarsest level / when MG is disabled.  This is the TPU-native
+    # stand-in for Trilinos PreconditionAMG / ILU (SURVEY.md N10).
+    mg: "MGEdge | None" = None
+
     @property
     def dtype(self):
         return self.cell_mask.dtype
@@ -71,6 +77,30 @@ class Disc:
     @property
     def cell_volume(self) -> float:
         return self.hx * self.hy
+
+
+@struct.dataclass
+class MGEdge:
+    """Link from one multigrid level to the next-coarser one.
+
+    ``coarse`` is a rediscretized Disc of the same channel at lower cell
+    resolution (its own ``mg`` continues the chain).  Transfer operators are
+    dense 1-D tensor factors over the velocity lattice, applied as einsum
+    contractions (MXU-friendly):
+
+      * prolongation (coarse -> fine): evaluate the coarse FE function at
+        the fine lattice nodes, ``Pvy @ x @ Pvx^T``;
+      * rhs restriction: the transpose sweep, ``Pvy^T @ r @ Pvx``;
+      * state restriction (fine -> coarse, for the convection
+        linearization): evaluate the fine FE function at coarse nodes,
+        ``Evy @ u @ Evx^T``.
+    """
+
+    coarse: "Disc"
+    Pvx: jax.Array  # [NVx_fine, NVx_coarse]
+    Pvy: jax.Array  # [NVy_fine, NVy_coarse]
+    Evx: jax.Array  # [NVx_coarse, NVx_fine]
+    Evy: jax.Array  # [NVy_coarse, NVy_fine]
 
 
 def _neumann_rhs_unit(space: FESpace) -> np.ndarray:

@@ -67,6 +67,7 @@ class LinearContext:
     stokes: bool  # static regime flag
     linq: LinearizationQ | None  # Newton linearization state at q-points
     diag_f: jax.Array  # diag of the (post-BC) velocity block
+    state_u: jax.Array | None = None  # nodal velocity (MG rediscretization)
 
     # ---- block applies (post boundary elimination, NSSolver.cpp:596) ----
     def F(self, x_u):
@@ -109,6 +110,19 @@ class LinearContext:
         dinv = 1.0 / self.diag_f
         return lambda x: dinv * x
 
+    def smoother_F(self):
+        """Velocity-block smoother: geometric-multigrid V-cycle when a
+        hierarchy is attached (the ILU/SSOR/AMG equivalence layer,
+        SURVEY.md N10), point Jacobi otherwise."""
+        if self.disc.mg is not None:
+            from navier_stokes_solver_tpu.precond.mg import make_mg_vcycle
+
+            return make_mg_vcycle(
+                self.disc, self.nu, self.inv_dt, self.state_u,
+                stokes=self.stokes,
+            )
+        return self.jacobi_F()
+
     def jacobi_Mp(self):
         dinv = 1.0 / diag_Mp(self.disc, self.nu)
         return lambda x: dinv * x
@@ -136,7 +150,7 @@ def make_block_diagonal(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     Stationary (NSSolverStationary.hpp:131-153): same solves to *relative*
     tolerance 1e-1, SSOR-preconditioned.
     """
-    mf, mp = ctx.jacobi_F(), ctx.jacobi_Mp()
+    mf, mp = ctx.smoother_F(), ctx.jacobi_Mp()
     dot, nrm = ctx.dot(), ctx.norm()
 
     def vmult(src: Blocks) -> Blocks:
@@ -172,7 +186,7 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     Stationary (NSSolverStationary.hpp:188-218): rel 1e-2 / 1e-2 with AMG on
     the velocity block and ILU on the pressure mass.
     """
-    mf, mp = ctx.jacobi_F(), ctx.jacobi_Mp()
+    mf, mp = ctx.smoother_F(), ctx.jacobi_Mp()
     dot, nrm = ctx.dot(), ctx.norm()
     rel_u = 1e-4 if variant == "unsteady" else 1e-2
     rel_p = 1e-5 if variant == "unsteady" else 1e-2
@@ -243,7 +257,7 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
     to rel 1e-1, then delta_p *= alpha and the velocity correction
     u -= D^-1 B^T delta_p; dst_p = delta_p.
     """
-    mf = ctx.jacobi_F()
+    mf = ctx.smoother_F()
     dot, nrm = ctx.dot(), ctx.norm()
     D = ctx.diag_f
     Dinv = 1.0 / D

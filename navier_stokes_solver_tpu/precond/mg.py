@@ -1,0 +1,235 @@
+"""Geometric multigrid on the velocity block (ILU/SSOR/AMG equivalence layer).
+
+The reference preconditions its velocity-block inner solves with Trilinos
+``PreconditionILU`` / ``PreconditionSSOR`` (unsteady / stationary
+blockDiagonal, NSSolver.hpp:183-189, NSSolverStationary.hpp:160-166) and
+``PreconditionAMG`` (stationary blockTriangular,
+NSSolverStationary.hpp:225-231).  Sequential sparse sweeps have no efficient
+TPU analog (SURVEY.md N10); the TPU-native equivalent built here is a
+rediscretization geometric multigrid V-cycle:
+
+  * hierarchy: the channel geometry regenerated at ceil-halved cell counts
+    (same voxelized-cylinder rule, NSSolver.cpp:40-63) down to a few cells;
+  * transfers: dense 1-D tensor factors evaluating the piecewise-Lagrange
+    (Gauss-Lobatto) velocity function of one level at the other's nodes --
+    two einsum contractions per transfer, mapping onto the MXU;
+  * smoother: Chebyshev-accelerated point Jacobi with the spectral radius
+    of ``D^-1 F`` estimated by on-device power iteration (matrix-free);
+  * coarse solve: Jacobi-preconditioned CG to a loose tolerance.
+
+Everything runs inside ``jit``; the hierarchy is a static pytree chain
+hanging off ``Disc.mg``.  Dirichlet rows (post ``apply_boundary_values``
+elimination) and non-existent lattice lanes are identity/diagonal rows that
+point smoothing solves exactly; transfers zero them so coarse corrections
+stay in the interior subspace.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navier_stokes_solver_tpu.elements import make_taylor_hood
+from navier_stokes_solver_tpu.elements.taylor_hood import lagrange_values
+from navier_stokes_solver_tpu.geometry import make_channel_geometry, make_fe_space
+from navier_stokes_solver_tpu.krylov import cg
+from navier_stokes_solver_tpu.ops.disc import Disc, MGEdge, make_disc
+from navier_stokes_solver_tpu.ops.matfree import _eval_v, apply_F, diag_F
+from navier_stokes_solver_tpu.ops import LinearizationQ
+
+__all__ = ["attach_mg", "make_mg_vcycle", "mg_level_shapes"]
+
+
+# ---------------------------------------------------------------------------
+# Host-side hierarchy construction
+# ---------------------------------------------------------------------------
+
+
+def _interp_1d(n_src: int, n_dst: int, deg: int, nodes: np.ndarray) -> np.ndarray:
+    """[N_dst, N_src] evaluation of a degree-``deg`` piecewise-Lagrange
+    function on an ``n_src``-cell unit grid at the nodes of an ``n_dst``-cell
+    grid (grids need not be nested)."""
+    N_dst = deg * n_dst + 1
+    N_src = deg * n_src + 1
+    P = np.zeros((N_dst, N_src))
+    for g in range(N_dst):
+        c = min(g // deg, n_dst - 1)
+        a = g - c * deg
+        x = (c + nodes[a]) / n_dst
+        j = int(np.clip(np.floor(x * n_src - 1e-12), 0, n_src - 1))
+        t = x * n_src - j
+        P[g, j * deg : (j + 1) * deg + 1] = lagrange_values(nodes, np.array([t]))[0]
+    return P
+
+
+def attach_mg(
+    disc: Disc,
+    *,
+    min_cells: int = 12,
+    max_levels: int = 8,
+    geo_kwargs: dict | None = None,
+) -> Disc:
+    """Attach a multigrid chain to ``disc`` (single-tile only).
+
+    ``geo_kwargs`` forwards the channel-geometry parameters of the fine grid
+    (defaults describe the reference benchmark channel).
+    """
+    if disc.halo_axis is not None:
+        raise ValueError("attach_mg: hierarchy on decomposed tiles not supported")
+    geo_kwargs = geo_kwargs or {}
+    tables = make_taylor_hood(disc.deg_v, disc.deg_p, disc.n_q1d)
+    nodes = tables.nodes_v
+    deg = disc.deg_v
+    dtype = disc.dtype
+
+    def build(nx: int, ny: int, level: int) -> MGEdge | None:
+        nxc, nyc = -(-nx // 2), -(-ny // 2)  # ceil halving
+        if level >= max_levels or nxc * nyc < min_cells or nyc < 2:
+            return None
+        geo_c = make_channel_geometry(nxc, nyc, **geo_kwargs)
+        space_c = make_fe_space(geo_c, disc.deg_v, disc.deg_p)
+        disc_c = make_disc(space_c, dtype)
+        edge_down = build(nxc, nyc, level + 1)
+        if edge_down is not None:
+            disc_c = disc_c.replace(mg=edge_down)
+        return MGEdge(
+            coarse=disc_c,
+            Pvx=jnp.asarray(_interp_1d(nxc, nx, deg, nodes), dtype),
+            Pvy=jnp.asarray(_interp_1d(nyc, ny, deg, nodes), dtype),
+            Evx=jnp.asarray(_interp_1d(nx, nxc, deg, nodes), dtype),
+            Evy=jnp.asarray(_interp_1d(ny, nyc, deg, nodes), dtype),
+        )
+
+    edge = build(disc.nx, disc.ny, 0)
+    return disc.replace(mg=edge) if edge is not None else disc
+
+
+def mg_level_shapes(disc: Disc) -> list[tuple[int, int]]:
+    out = [(disc.nx, disc.ny)]
+    while disc.mg is not None:
+        disc = disc.mg.coarse
+        out.append((disc.nx, disc.ny))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device-side V-cycle
+# ---------------------------------------------------------------------------
+
+
+def _interior_mask(disc: Disc):
+    return disc.u_active & ~disc.u_dirichlet
+
+
+def _zero_constrained(disc: Disc, x):
+    return jnp.where(_interior_mask(disc), x, 0.0)
+
+
+def _estimate_lmax(A, dinv, shape, dtype, iters: int = 10):
+    """Power iteration for the spectral radius of ``D^-1 A`` (matrix-free,
+    on device; the analog of Ifpack's eigenvalue estimate for Chebyshev)."""
+    v = jax.random.normal(jax.random.PRNGKey(7), shape, dtype)
+
+    def body(_, carry):
+        v, lam = carry
+        w = dinv * A(v)
+        lam = jnp.sqrt(jnp.vdot(w, w).real)
+        return w / jnp.maximum(lam, 1e-30), lam
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.ones((), dtype)))
+    return lam
+
+
+def _chebyshev(A, dinv, lmax, b, x, degree: int):
+    """``degree`` steps of Chebyshev-accelerated Jacobi on [lmax/4, 1.1 lmax]
+    (the classic smoothing window; only the high end must be damped)."""
+    lmin = lmax / 4.0
+    lmax = 1.1 * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = b - A(x)
+    d = dinv * r / theta
+    for _ in range(degree):
+        x = x + d
+        r = b - A(x)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * (dinv * r)
+        rho = rho_new
+    return x
+
+
+def make_mg_vcycle(
+    disc: Disc,
+    nu,
+    inv_dt,
+    state_u: jax.Array | None,
+    *,
+    stokes: bool,
+    smooth_degree: int = 3,
+    coarse_iters: int = 48,
+    coarse_rtol: float = 5e-2,
+):
+    """Build ``M(b) -> x`` : one V(smooth_degree, smooth_degree) cycle for the
+    velocity block F at the current linearization.
+
+    ``state_u`` is the fine-level velocity field (None in the Stokes
+    regime); it is restricted through the chain to rediscretize the
+    linearized convection on every level.
+    """
+    # ---- walk the chain, building per-level operators ----
+    levels = []  # (disc, A, dinv, lmax, edge)
+    d = disc
+    u = state_u
+    while True:
+        if stokes or u is None:
+            linq = None
+        else:
+            vals, grads = _eval_v(d, u)
+            linq = LinearizationQ(u=vals, gradu=grads, p=None)
+        diag = diag_F(d, nu, inv_dt, linq, stokes=stokes)
+        dloc = d
+        linq_loc = linq
+        diag_loc = diag
+
+        def A(x, _d=dloc, _l=linq_loc, _dg=diag_loc):
+            return apply_F(_d, nu, inv_dt, _l, x, stokes=stokes, bc_diag=_dg)
+
+        dinv = 1.0 / diag
+        lmax = _estimate_lmax(A, dinv, (2,) + d.NV, d.dtype)
+        levels.append((d, A, dinv, lmax, d.mg))
+        if d.mg is None:
+            break
+        edge = d.mg
+        if u is not None and not stokes:
+            u = jnp.einsum("Yy,cyx,Xx->cYX", edge.Evy, u, edge.Evx)
+        d = edge.coarse
+
+    def restrict(edge: MGEdge, r):
+        return jnp.einsum("yY,cyx,xX->cYX", edge.Pvy, r, edge.Pvx)
+
+    def prolong(edge: MGEdge, x):
+        return jnp.einsum("Yy,cyx,Xx->cYX", edge.Pvy, x, edge.Pvx)
+
+    def vcycle(li: int, b):
+        d, A, dinv, lmax, edge = levels[li]
+        if li == len(levels) - 1:
+            x, _ = cg(
+                A,
+                b,
+                jnp.zeros_like(b),
+                tol=coarse_rtol * jnp.sqrt(jnp.vdot(b, b).real),
+                maxiter=coarse_iters,
+                M=lambda r: dinv * r,
+            )
+            return x
+        x = _chebyshev(A, dinv, lmax, b, jnp.zeros_like(b), smooth_degree)
+        r = _zero_constrained(d, b - A(x))
+        bc = _zero_constrained(edge.coarse, restrict(edge, r))
+        xc = vcycle(li + 1, bc)
+        x = x + _zero_constrained(d, prolong(edge, xc))
+        return _chebyshev(A, dinv, lmax, b, x, smooth_degree)
+
+    return lambda b: vcycle(0, b)

@@ -104,7 +104,8 @@ def _solve_tangent(
     linq = None if stokes else eval_state(disc, sol)
     dF = diag_F(disc, nu, inv_dt, linq, stokes=stokes)
     ctx = LinearContext(
-        disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF
+        disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF,
+        state_u=None if stokes else sol.u,
     )
     M = make_preconditioner(prec_type, ctx, variant=variant)
     A = lambda x: apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)

@@ -1,0 +1,92 @@
+"""IO: VTU output, gmsh MSH2 write/read roundtrip, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from navier_stokes_solver_tpu.geometry import make_channel_geometry, make_fe_space
+from navier_stokes_solver_tpu.io import (
+    read_msh,
+    write_msh,
+    write_vtu_record,
+)
+from navier_stokes_solver_tpu.io.msh import _read_msh_python
+from navier_stokes_solver_tpu.native import native_available
+
+
+def _space(nx=20, ny=8):
+    return make_fe_space(make_channel_geometry(nx, ny), 2, 1)
+
+
+def test_vtu_record(tmp_path):
+    space = _space()
+    u = np.random.default_rng(0).standard_normal((2, space.NVy, space.NVx))
+    p = np.zeros((space.NPy, space.NPx))
+    pvtu = write_vtu_record(space, u, p, directory=str(tmp_path), counter=7)
+    assert os.path.exists(pvtu)
+    piece = os.path.join(str(tmp_path), "output_007.0.vtu")
+    assert os.path.exists(piece)
+    content = open(piece).read()
+    assert "velocity" in content and "pressure" in content
+    assert "partitioning" in content
+
+
+def test_msh_roundtrip(tmp_path):
+    geo = make_channel_geometry(16, 8)
+    path = str(tmp_path / "mesh.msh")
+    write_msh(geo, path)
+    data = read_msh(path)
+    assert data["nodes_xy"].shape == ((16 + 1) * (8 + 1), 2)
+    assert data["quad"].shape[0] == geo.n_active_cells
+    # boundary edges carry the reference's physical ids
+    ids = set(data["edge_tag"].tolist())
+    assert {6, 7, 8}.issubset(ids)
+    # connectivity indices are valid
+    assert data["quad"].max() < data["nodes_xy"].shape[0]
+
+
+def test_msh_native_matches_python(tmp_path):
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    geo = make_channel_geometry(12, 6)
+    path = str(tmp_path / "mesh.msh")
+    write_msh(geo, path)
+    a = read_msh(path)  # native
+    b = _read_msh_python(path)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_native_vtu_used_when_available(tmp_path):
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    space = _space(8, 4)
+    u = np.zeros((2, space.NVy, space.NVx))
+    p = np.ones((space.NPy, space.NPx))
+    pvtu = write_vtu_record(space, u, p, directory=str(tmp_path))
+    piece = pvtu.replace(".pvtu", ".0.vtu")
+    content = open(piece, "rb").read()
+    assert b"UnstructuredGrid" in content
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from navier_stokes_solver_tpu.api import NSSolverStationary, SolverOptions
+    from navier_stokes_solver_tpu.io import load_checkpoint, save_checkpoint
+
+    opts = SolverOptions(mesh_size=(12, 6), degree_velocity=2,
+                         degree_pressure=1, verbose=False, multigrid=False)
+    s1 = NSSolverStationary(opts).setup()
+    s1.solution = s1.solution._replace(u=s1.solution.u + 1.5)
+    s1.nu = 0.025
+    save_checkpoint(s1, str(tmp_path / "ckpt"))
+
+    s2 = NSSolverStationary(opts).setup()
+    manifest = load_checkpoint(s2, str(tmp_path / "ckpt"))
+    assert manifest["nu"] == 0.025
+    assert s2.nu == 0.025
+    np.testing.assert_array_equal(
+        np.asarray(s2.solution.u), np.asarray(s1.solution.u)
+    )
