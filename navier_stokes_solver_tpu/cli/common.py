@@ -102,6 +102,20 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
     if args.tolerance <= 0:
         print("Error: tolerance must be positive", file=sys.stderr)
         raise SystemExit(1)
+    # reference validation (test.cpp:75-92): solver/preconditioner ids 0..2
+    if args.solver not in (0, 1, 2):
+        print(
+            "Error: solver must be 0 (GMRES), 1 (FGMRES) or 2 (Bicgstab)",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    if args.preconditioner not in (0, 1, 2):
+        print(
+            "Error: preconditioner must be 0 (blockDiagonal), "
+            "1 (blockTriangular) or 2 (aSIMPLE)",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
     if args.f32:
         import jax.numpy as jnp
 

@@ -1,0 +1,40 @@
+"""CLI flag parity with the reference drivers (test.cpp:25-34 defaults)."""
+
+import pytest
+
+from navier_stokes_solver_tpu.cli.common import parse_options
+
+
+def test_defaults_match_reference():
+    o = parse_options([], unsteady=True)
+    assert o.mesh_size == (100, 100)
+    assert o.Re == 100.0
+    assert o.solver_type == 1  # FGMRES
+    assert o.tolerance == 1e-6
+    assert o.preconditioner_type == 0  # blockDiagonal
+    assert o.time_span == 1.0 and o.time_step == 0.01
+    assert o.degree_velocity == 3 and o.degree_pressure == 2
+
+
+def test_M_flag_switches_degrees():
+    from navier_stokes_solver_tpu.api import NSSolverStationary
+
+    o = parse_options(["-M"], unsteady=False)
+    assert o.read_mesh_from_file
+    # the degree switch (test.cpp:66-70) happens at solver construction
+    s = NSSolverStationary(o)
+    assert s.options.degree_velocity == 2 and s.options.degree_pressure == 1
+
+
+def test_mesh_and_T_parsing():
+    o = parse_options(["-m", "60,40", "-T", "0.03,0.01", "-r", "1.0",
+                       "-s", "1", "-p", "1", "-t", "1e-9"], unsteady=True)
+    assert o.mesh_size == (60, 40)
+    assert o.time_span == 0.03 and o.time_step == 0.01
+    assert o.Re == 1.0 and o.solver_type == 1
+    assert o.preconditioner_type == 1 and o.tolerance == 1e-9
+
+
+def test_invalid_solver_rejected():
+    with pytest.raises(SystemExit):
+        parse_options(["-s", "5"], unsteady=False)
