@@ -54,9 +54,8 @@ class NSSolverBase:
         elif kwargs:
             options = dataclasses.replace(options, **kwargs)
         if options.read_mesh_from_file:
-            # -M flips the FE degrees (test.cpp:66-70).  The unstructured
-            # simplex path itself is not supported by the structured-grid
-            # backend; the structured Q2/Q1 equivalent is used instead.
+            # -M flips the FE degrees (test.cpp:66-70) and selects the
+            # unstructured P2/P1 simplex backend (NSSolver.cpp:144-209).
             options = dataclasses.replace(
                 options, degree_velocity=2, degree_pressure=1
             )
@@ -77,33 +76,60 @@ class NSSolverBase:
 
     def setup(self):
         """Build mesh, FE space and device data (NSSolver::setup,
-        NSSolver.cpp:3-311)."""
+        NSSolver.cpp:3-311).  The ``-M`` path builds the unstructured
+        P2/P1 simplex backend (NSSolver.cpp:144-209) from a gmsh file, or
+        from a triangulated internal channel when no file is given."""
         o = self.options
         t0 = _time.perf_counter()
         self.geo = make_channel_geometry(*o.mesh_size)
-        self.space = make_fe_space(self.geo, o.degree_velocity, o.degree_pressure)
-        self.disc = make_disc(self.space, o.dtype)
-        if o.multigrid:
-            from navier_stokes_solver_tpu.precond.mg import attach_mg
+        if o.read_mesh_from_file:
+            from navier_stokes_solver_tpu.unstructured import (
+                make_simplex_disc,
+                triangulate_channel,
+            )
 
-            self.disc = attach_mg(self.disc)
-        self.log(f"  Number of elements = {self.geo.n_active_cells}")
+            if o.mesh_file_name:
+                from navier_stokes_solver_tpu.io import read_msh
+
+                data = read_msh(o.mesh_file_name)
+                if data["tri"].shape[0] == 0:
+                    raise ValueError(
+                        f"{o.mesh_file_name!r} contains no triangles"
+                    )
+                nodes, tri = data["nodes_xy"], data["tri"]
+                bedges, btags = data["edges"], data["edge_tag"]
+            else:
+                nodes, tri, bedges, btags = triangulate_channel(self.geo)
+            self.space = None
+            self.disc = make_simplex_disc(nodes, tri, bedges, btags, o.dtype)
+            n_el = self.disc.n_tri
+            n_dofs_v = 2 * self.disc.n_nodes_v
+            n_dofs_p = self.disc.n_nodes_p
+        else:
+            self.space = make_fe_space(
+                self.geo, o.degree_velocity, o.degree_pressure
+            )
+            self.disc = make_disc(self.space, o.dtype)
+            if o.multigrid:
+                from navier_stokes_solver_tpu.precond.mg import attach_mg
+
+                self.disc = attach_mg(self.disc)
+            n_el = self.geo.n_active_cells
+            n_dofs_v = self.space.n_dofs_velocity
+            n_dofs_p = self.space.n_dofs_pressure
+        self.log(f"  Number of elements = {n_el}")
         self.log("-----------------------------------------------")
         self.log("Initializing the finite element space")
         self.log(f"  Velocity degree:           = {o.degree_velocity}")
         self.log(f"  Pressure degree:           = {o.degree_pressure}")
         self.log("-----------------------------------------------")
         self.log("  Number of DoFs: ")
-        self.log(f"    velocity = {self.space.n_dofs_velocity}")
-        self.log(f"    pressure = {self.space.n_dofs_pressure}")
-        self.log(f"    total    = {self.space.n_dofs}")
+        self.log(f"    velocity = {n_dofs_v}")
+        self.log(f"    pressure = {n_dofs_p}")
+        self.log(f"    total    = {n_dofs_v + n_dofs_p}")
+        self.n_dofs = n_dofs_v + n_dofs_p
 
-        dt = self.disc.dtype
-        NVy, NVx = self.disc.NV
-        NPy, NPx = self.disc.NP
-        zero = Blocks(
-            u=jnp.zeros((2, NVy, NVx), dt), p=jnp.zeros((NPy, NPx), dt)
-        )
+        zero = Blocks(u=self.disc.zeros_u(), p=self.disc.zeros_p())
         self.solution = zero
         self.solution_old = zero
         self.delta = zero  # persistent delta_owned (warm start semantics)
@@ -216,6 +242,8 @@ class NSSolverBase:
         """Parallel VTU output (NSSolver.cpp:761-797)."""
         if not self.options.write_output:
             return
+        if self.space is None:
+            return  # unstructured VTU output not yet wired
         from navier_stokes_solver_tpu.io import write_vtu_record
 
         write_vtu_record(

@@ -16,17 +16,18 @@ import jax
 import jax.numpy as jnp
 
 from navier_stokes_solver_tpu.krylov import bicgstab, fgmres, gmres
-from navier_stokes_solver_tpu.ops import (
-    Blocks,
-    apply_jacobian,
-    diag_F,
-    eval_state,
-    lift_drag_forces,
-    norm,
-    residual,
-)
-from navier_stokes_solver_tpu.ops.matfree import dirichlet_values
+from navier_stokes_solver_tpu.ops import Blocks, matfree, norm
+from navier_stokes_solver_tpu.ops.disc import Disc
 from navier_stokes_solver_tpu.precond import LinearContext, make_preconditioner
+
+
+def _ops_for(disc):
+    """Backend kernels: structured lattice (matfree) or simplex mesh."""
+    if isinstance(disc, Disc):
+        return matfree
+    from navier_stokes_solver_tpu.unstructured import ops as simplex_ops
+
+    return simplex_ops
 
 __all__ = [
     "assemble_kernel",
@@ -42,9 +43,10 @@ _SOLVERS = {0: gmres, 1: fgmres, 2: bicgstab}
 def assemble_kernel(disc, nu, inv_dt, st: Blocks, u_old, inlet_amp, *, stokes):
     """Residual assembly + norm (the reference's assemble_system + l2_norm,
     NSSolver.cpp:700-707)."""
-    linq = None if stokes else eval_state(disc, st)
-    dF = diag_F(disc, nu, inv_dt, linq, stokes=stokes)
-    rhs = residual(
+    ops = _ops_for(disc)
+    linq = None if stokes else ops.eval_state(disc, st)
+    dF = ops.diag_F(disc, nu, inv_dt, linq, stokes=stokes)
+    rhs = ops.residual(
         disc, nu, inv_dt, st, u_old, dF, stokes=stokes, inlet_amp=inlet_amp
     )
     return rhs, norm(rhs)
@@ -77,21 +79,27 @@ def solve_kernel(
     set to the boundary values, interior entries warm-start from the
     previous solve.
     """
-    linq = None if stokes else eval_state(disc, st)
-    dF = diag_F(disc, nu, inv_dt, linq, stokes=stokes)
+    ops = _ops_for(disc)
+    linq = None if stokes else ops.eval_state(disc, st)
+    dF = ops.diag_F(disc, nu, inv_dt, linq, stokes=stokes)
     ctx = LinearContext(
         disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF,
-        state_u=None if stokes else st.u,
+        state_u=None if stokes else st.u, ops=ops,
     )
     M = make_preconditioner(prec_type, ctx, variant=variant)
 
     def A(x: Blocks) -> Blocks:
-        return apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
+        return ops.apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
 
-    g = dirichlet_values(disc, inlet_amp)
+    g = ops.dirichlet_values(disc, inlet_amp)
     x0u = jnp.where(disc.u_dirichlet, g, delta_prev.u)
-    x0u = jnp.where(disc.u_active, x0u, 0.0)
-    x0 = Blocks(u=x0u, p=jnp.where(disc.p_active, delta_prev.p, 0.0))
+    u_active = getattr(disc, "u_active", None)
+    if u_active is not None:
+        x0u = jnp.where(u_active, x0u, 0.0)
+        x0p = jnp.where(disc.p_active, delta_prev.p, 0.0)
+    else:
+        x0p = delta_prev.p
+    x0 = Blocks(u=x0u, p=x0p)
 
     delta, info = _SOLVERS[solver_type](A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
     return delta, info
@@ -108,4 +116,4 @@ def update_solution(evaluation_point: Blocks, delta: Blocks, alpha) -> Blocks:
 
 @jax.jit
 def lift_drag_kernel(disc, nu, st: Blocks):
-    return lift_drag_forces(disc, nu, st)
+    return _ops_for(disc).lift_drag_forces(disc, nu, st)

@@ -78,6 +78,12 @@ class Disc:
     def cell_volume(self) -> float:
         return self.hx * self.hy
 
+    def zeros_u(self) -> jax.Array:
+        return jnp.zeros((2,) + self.NV, self.dtype)
+
+    def zeros_p(self) -> jax.Array:
+        return jnp.zeros(self.NP, self.dtype)
+
 
 @struct.dataclass
 class MGEdge:

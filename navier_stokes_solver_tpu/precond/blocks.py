@@ -24,17 +24,12 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from typing import Any
+
 from navier_stokes_solver_tpu.krylov import bicgstab, cg, fgmres
+from navier_stokes_solver_tpu.ops import matfree
 from navier_stokes_solver_tpu.ops.matfree import make_dot
-from navier_stokes_solver_tpu.ops import (
-    Blocks,
-    LinearizationQ,
-    apply_B,
-    apply_Bt,
-    apply_F,
-    apply_Mp,
-    diag_Mp,
-)
+from navier_stokes_solver_tpu.ops import Blocks, LinearizationQ
 from navier_stokes_solver_tpu.ops.disc import Disc
 
 __all__ = ["LinearContext", "PrecondConfig", "make_preconditioner"]
@@ -61,17 +56,18 @@ class LinearContext:
     ``preconditioner.initialize(...)`` (NSSolver.cpp:607-651), matrix-free.
     """
 
-    disc: Disc
+    disc: Disc | Any  # structured Disc or unstructured SimplexDisc
     nu: jax.Array | float
     inv_dt: jax.Array | float
     stokes: bool  # static regime flag
     linq: LinearizationQ | None  # Newton linearization state at q-points
     diag_f: jax.Array  # diag of the (post-BC) velocity block
     state_u: jax.Array | None = None  # nodal velocity (MG rediscretization)
+    ops: Any = matfree  # backend kernel module (matfree | unstructured.ops)
 
     # ---- block applies (post boundary elimination, NSSolver.cpp:596) ----
     def F(self, x_u):
-        return apply_F(
+        return self.ops.apply_F(
             self.disc,
             self.nu,
             self.inv_dt,
@@ -82,20 +78,23 @@ class LinearContext:
         )
 
     def B(self, x_u):
-        return apply_B(self.disc, x_u, stokes=self.stokes)
+        return self.ops.apply_B(self.disc, x_u, stokes=self.stokes)
 
     def Bt(self, x_p):
-        return apply_Bt(self.disc, x_p, zero_dirichlet_rows=True)
+        return self.ops.apply_Bt(self.disc, x_p, zero_dirichlet_rows=True)
 
     def Mp(self, x_p):
-        return apply_Mp(self.disc, self.nu, x_p)
+        return self.ops.apply_Mp(self.disc, self.nu, x_p)
 
     def S(self, x_p):
         """Approximate Schur complement S = B diag(F)^-1 B^T, composed
         matrix-free (replaces the Trilinos ``mmult`` triple product,
         NSSolver.hpp:286)."""
         y = self.B(self.Bt(x_p) / self.diag_f)
-        return jnp.where(self.disc.p_active, y, x_p)
+        p_active = getattr(self.disc, "p_active", None)
+        if p_active is None:
+            return y
+        return jnp.where(p_active, y, x_p)
 
     # ---- seam-weighted inner product (distributed-safe) ----
     def dot(self):
@@ -124,17 +123,16 @@ class LinearContext:
         return self.jacobi_F()
 
     def jacobi_Mp(self):
-        dinv = 1.0 / diag_Mp(self.disc, self.nu)
+        dinv = 1.0 / self.ops.diag_Mp(self.disc, self.nu)
         return lambda x: dinv * x
 
 
 def _zeros_u(ctx: LinearContext):
-    NVy, NVx = ctx.disc.NV
-    return jnp.zeros((2, NVy, NVx), ctx.disc.dtype)
+    return ctx.disc.zeros_u()
 
 
 def _zeros_p(ctx: LinearContext):
-    return jnp.zeros(ctx.disc.NP, ctx.disc.dtype)
+    return ctx.disc.zeros_p()
 
 
 # ---------------------------------------------------------------------------

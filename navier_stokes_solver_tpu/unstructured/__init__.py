@@ -1,0 +1,9 @@
+"""Unstructured P2/P1 simplex backend (the reference's ``-M`` path)."""
+
+from navier_stokes_solver_tpu.unstructured.tri import (
+    SimplexDisc,
+    make_simplex_disc,
+    triangulate_channel,
+)
+
+__all__ = ["SimplexDisc", "make_simplex_disc", "triangulate_channel"]

@@ -1,0 +1,256 @@
+"""Matrix-free P2/P1 operators on unstructured triangle meshes.
+
+Mirrors ``ops.matfree`` (same weak form, NSSolver.cpp:313-599 /
+NSSolverStationary.cpp:317-577, and the same Dirichlet row-elimination
+semantics) for the ``-M`` simplex path: gather per-element DoFs with
+``jnp.take``, contract against the P2/P1 tables (batched over elements),
+and scatter-add with ``jax.ops.segment_sum``.  Per-element affine maps
+(``invJ``, ``detJ``) replace the congruent-cell scalings of the structured
+backend.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from navier_stokes_solver_tpu.ops.blocks import Blocks
+from navier_stokes_solver_tpu.ops.matfree import LinearizationQ
+from navier_stokes_solver_tpu.unstructured.tri import SimplexDisc
+
+__all__ = [
+    "eval_state",
+    "apply_F",
+    "apply_B",
+    "apply_Bt",
+    "apply_Mp",
+    "apply_jacobian",
+    "residual",
+    "diag_F",
+    "diag_Mp",
+    "lift_drag_forces",
+    "dirichlet_values",
+]
+
+
+def _tab(disc: SimplexDisc, name: str):
+    return jnp.asarray(getattr(disc.tables, name), disc.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation / projection
+# ---------------------------------------------------------------------------
+
+
+def _eval_v(disc: SimplexDisc, u: jax.Array):
+    """[2, Nv] -> values [n_q, 2, T], physical gradients [n_q, 2, 2, T]."""
+    loc = u[:, disc.dofs_v]  # [2, T, 6]
+    phi = _tab(disc, "phi_v")  # [n_q, 6]
+    dphi = _tab(disc, "dphi_v")  # [n_q, 6, 2]
+    vals = jnp.einsum("qm,ctm->qct", phi, loc)
+    gref = jnp.einsum("qmd,ctm->qctd", dphi, loc)  # d/dxi
+    gphys = jnp.einsum("qctd,tdk->qckt", gref, disc.invJ)
+    return vals, gphys  # gphys: [n_q, comp, dim, T]
+
+
+def _eval_p(disc: SimplexDisc, p: jax.Array):
+    loc = p[disc.dofs_p]  # [T, 3]
+    return jnp.einsum("qn,tn->qt", _tab(disc, "phi_p"), loc)
+
+
+def _scatter_v(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
+    """[2, T, 6] element contributions -> [2, Nv]."""
+    flat = loc.reshape(2, -1)
+    idx = disc.dofs_v.reshape(-1)
+    return jax.vmap(
+        lambda row: jax.ops.segment_sum(row, idx, num_segments=disc.n_nodes_v)
+    )(flat)
+
+
+def _scatter_p(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
+    """[T, 3] -> [Np]."""
+    return jax.ops.segment_sum(
+        loc.reshape(-1), disc.dofs_p.reshape(-1), num_segments=disc.n_nodes_p
+    )
+
+
+def _project_v(disc: SimplexDisc, f_val, f_grad) -> jax.Array:
+    """loc[c,t,m] = sum_q w_q detJ_t (f_val[q,c,t] phi_m + f_grad[q,c,:,t]
+    . grad phi_m), scattered to [2, Nv]."""
+    w = _tab(disc, "w_q")
+    wdet = w[:, None] * disc.detJ[None, :]  # [n_q, T]
+    loc = None
+    if f_val is not None:
+        phi = _tab(disc, "phi_v")
+        loc = jnp.einsum("qm,qct,qt->ctm", phi, f_val, wdet)
+    if f_grad is not None:
+        dphi = _tab(disc, "dphi_v")
+        gphi = jnp.einsum("qmd,tdk->qmkt", dphi, disc.invJ)  # phys grads
+        term = jnp.einsum("qmkt,qckt,qt->ctm", gphi, f_grad, wdet)
+        loc = term if loc is None else loc + term
+    return _scatter_v(disc, loc)
+
+
+def _project_p(disc: SimplexDisc, f_val) -> jax.Array:
+    w = _tab(disc, "w_q")
+    wdet = w[:, None] * disc.detJ[None, :]
+    loc = jnp.einsum("qn,qt,qt->tn", _tab(disc, "phi_p"), f_val, wdet)
+    return _scatter_p(disc, loc)
+
+
+def eval_state(disc: SimplexDisc, st: Blocks) -> LinearizationQ:
+    vals, grads = _eval_v(disc, st.u)
+    return LinearizationQ(u=vals, gradu=grads, p=_eval_p(disc, st.p))
+
+
+# ---------------------------------------------------------------------------
+# Block operators (signatures mirror ops.matfree)
+# ---------------------------------------------------------------------------
+
+
+def _conv_lin(linq: LinearizationQ, xv, xg):
+    return jnp.einsum("qlt,qclt->qct", linq.u, xg) + jnp.einsum(
+        "qlt,qclt->qct", xv, linq.gradu
+    )
+
+
+def apply_F(disc, nu, inv_dt, linq, x_u, *, stokes, bc_diag=None):
+    xv, xg = _eval_v(disc, x_u)
+    if stokes:
+        y = _project_v(disc, None, nu * xg)
+    else:
+        y = _project_v(disc, _conv_lin(linq, xv, xg) + inv_dt * xv, nu * xg)
+    if bc_diag is not None:
+        y = jnp.where(disc.u_dirichlet, bc_diag * x_u, y)
+    return y
+
+
+def apply_Bt(disc, x_p, *, zero_dirichlet_rows=False):
+    pv = _eval_p(disc, x_p)
+    eye = jnp.eye(2, dtype=disc.dtype)
+    f_grad = -pv[:, None, None, :] * eye[None, :, :, None]
+    y = _project_v(disc, None, f_grad)
+    if zero_dirichlet_rows:
+        y = jnp.where(disc.u_dirichlet, 0.0, y)
+    return y
+
+
+def apply_B(disc, x_u, *, stokes):
+    _, xg = _eval_v(disc, x_u)
+    div = xg[:, 0, 0] + xg[:, 1, 1]
+    return _project_p(disc, -div if stokes else div)
+
+
+def apply_Mp(disc, nu, x_p):
+    return _project_p(disc, _eval_p(disc, x_p) / nu)
+
+
+def apply_jacobian(disc, nu, inv_dt, linq, bc_diag, x: Blocks, *, stokes):
+    xv, xg = _eval_v(disc, x.u)
+    pv = _eval_p(disc, x.p)
+    eye = jnp.eye(2, dtype=disc.dtype)
+    f_grad = nu * xg - pv[:, None, None, :] * eye[None, :, :, None]
+    if stokes:
+        yu = _project_v(disc, None, f_grad)
+    else:
+        yu = _project_v(disc, _conv_lin(linq, xv, xg) + inv_dt * xv, f_grad)
+    div = xg[:, 0, 0] + xg[:, 1, 1]
+    yp = _project_p(disc, -div if stokes else div)
+    yu = jnp.where(disc.u_dirichlet, bc_diag * x.u, yu)
+    return Blocks(u=yu, p=yp)
+
+
+def dirichlet_values(disc, inlet_amp):
+    gx = jnp.where(disc.u_inlet, inlet_amp * disc.inlet_profile1, 0.0)
+    return jnp.stack([gx, jnp.zeros_like(gx)])
+
+
+def residual(
+    disc, nu, inv_dt, st, u_old, bc_diag, *, stokes, inlet_amp, p_out=1.0
+):
+    if stokes:
+        ru = p_out * disc.neumann_rhs1
+        rp = jnp.zeros((disc.n_nodes_p,), disc.dtype)
+    else:
+        linq = eval_state(disc, st)
+        u_old_q, _ = _eval_v(disc, u_old)
+        conv = jnp.einsum("qlt,qclt->qct", linq.u, linq.gradu)
+        f_val = -inv_dt * (linq.u - u_old_q) - conv
+        eye = jnp.eye(2, dtype=disc.dtype)
+        f_grad = -nu * linq.gradu + linq.p[:, None, None, :] * eye[None, :, :, None]
+        ru = _project_v(disc, f_val, f_grad) + p_out * disc.neumann_rhs1
+        div = linq.gradu[:, 0, 0] + linq.gradu[:, 1, 1]
+        rp = _project_p(disc, div)
+    g = dirichlet_values(disc, inlet_amp)
+    ru = jnp.where(disc.u_dirichlet, bc_diag * g, ru)
+    return Blocks(u=ru, p=rp)
+
+
+# ---------------------------------------------------------------------------
+# Diagonals
+# ---------------------------------------------------------------------------
+
+
+def diag_F(disc, nu, inv_dt, linq, *, stokes):
+    w = _tab(disc, "w_q")
+    wdet = w[:, None] * disc.detJ[None, :]
+    phi = _tab(disc, "phi_v")
+    dphi = _tab(disc, "dphi_v")
+    gphi = jnp.einsum("qmd,tdk->qmkt", dphi, disc.invJ)
+    visc = jnp.einsum("qmkt,qmkt,qt->tm", gphi, gphi, nu * wdet)
+    loc = visc[None].repeat(2, axis=0)  # [2, T, 6]
+    if not stokes:
+        mass = jnp.einsum("qm,qm,qt->tm", phi, phi, wdet) * inv_dt
+        conv1 = jnp.einsum("qm,qmkt,qkt,qt->tm", phi, gphi, linq.u, wdet)
+        loc = loc + (mass + conv1)[None]
+        phi2 = phi * phi
+        conv2 = jnp.stack(
+            [
+                jnp.einsum("qm,qt,qt->tm", phi2, linq.gradu[:, 0, 0], wdet),
+                jnp.einsum("qm,qt,qt->tm", phi2, linq.gradu[:, 1, 1], wdet),
+            ]
+        )
+        loc = loc + conv2
+    d = _scatter_v(disc, loc)
+    return jnp.where(d == 0.0, 1.0, d)
+
+
+def diag_Mp(disc, nu):
+    w = _tab(disc, "w_q")
+    wdet = w[:, None] * disc.detJ[None, :]
+    phi = _tab(disc, "phi_p")
+    loc = jnp.einsum("qn,qn,qt->tn", phi, phi, wdet) / nu
+    return _scatter_p(disc, loc)
+
+
+# ---------------------------------------------------------------------------
+# Lift / drag (edge integral over boundary id 10, NSSolver.cpp:839-938)
+# ---------------------------------------------------------------------------
+
+
+def lift_drag_forces(disc, nu, st: Blocks):
+    if disc.cyl_tri.shape[0] == 0:
+        z = jnp.zeros((), disc.dtype)
+        return z, z
+    t = disc.tables
+    phi_e = jnp.asarray(t.phi_v_edge, disc.dtype)[disc.cyl_edge]  # [E, qe, 6]
+    dphi_e = jnp.asarray(t.dphi_v_edge, disc.dtype)[disc.cyl_edge]  # [E,qe,6,2]
+    phip_e = jnp.asarray(t.phi_p_edge, disc.dtype)[disc.cyl_edge]  # [E, qe, 3]
+    w_e = jnp.asarray(t.w_e, disc.dtype)
+
+    u_loc = st.u[:, disc.dofs_v[disc.cyl_tri]]  # [2, E, 6]
+    p_loc = st.p[disc.dofs_p[disc.cyl_tri]]  # [E, 3]
+    invJ_e = disc.invJ[disc.cyl_tri]  # [E, 2, 2]
+
+    gref = jnp.einsum("eqmd,cem->eqcd", dphi_e, u_loc)
+    grad = jnp.einsum("eqcd,edk->eqck", gref, invJ_e)  # [E, qe, 2, 2]
+    pv = jnp.einsum("eqn,en->eq", phip_e, p_loc)
+
+    sig = nu * (grad + jnp.swapaxes(grad, 2, 3))
+    eye = jnp.eye(2, dtype=disc.dtype)
+    sig = sig - pv[:, :, None, None] * eye[None, None]
+    # force[c] = -sum_e sum_q w_q * len_e * sig[c, d] n_e[d]
+    force = -jnp.einsum(
+        "eqcd,ed,q,e->c", sig, disc.cyl_normal, w_e, disc.cyl_len
+    )
+    return force[0], force[1]

@@ -1,0 +1,142 @@
+"""Unstructured P2/P1 simplex backend (the -M path)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from navier_stokes_solver_tpu.geometry import make_channel_geometry
+from navier_stokes_solver_tpu.ops import Blocks
+from navier_stokes_solver_tpu.unstructured import (
+    make_simplex_disc,
+    triangulate_channel,
+)
+from navier_stokes_solver_tpu.unstructured import ops as uops
+from navier_stokes_solver_tpu.unstructured.elements import make_simplex_tables
+
+
+def _disc(nx=16, ny=8, with_cylinder=True):
+    geo = make_channel_geometry(nx, ny, with_cylinder=with_cylinder)
+    return make_simplex_disc(*triangulate_channel(geo)), geo
+
+
+def test_p2_partition_of_unity():
+    t = make_simplex_tables()
+    np.testing.assert_allclose(t.phi_v.sum(axis=1), 1.0, atol=1e-13)
+    np.testing.assert_allclose(t.phi_p.sum(axis=1), 1.0, atol=1e-13)
+    np.testing.assert_allclose(t.dphi_v.sum(axis=1), 0.0, atol=1e-12)
+    # quadrature integrates degree-5 exactly: check x^2 y^2 over the triangle
+    x, y = t.q_xy[:, 0], t.q_xy[:, 1]
+    np.testing.assert_allclose(
+        (t.w_q * x**2 * y**2).sum(), 1.0 / 180.0, rtol=1e-12
+    )
+
+
+def test_mass_matrix_total_is_domain_area():
+    disc, geo = _disc()
+    ones = jnp.ones((disc.n_nodes_p,), disc.dtype)
+    area = float(uops.apply_Mp(disc, 1.0, ones).sum())
+    expected = geo.n_active_cells * geo.hx * geo.hy
+    np.testing.assert_allclose(area, expected, rtol=1e-12)
+
+
+def test_divergence_of_constant_field_vanishes():
+    disc, _ = _disc()
+    u = jnp.ones((2, disc.n_nodes_v), disc.dtype)
+    div = uops.apply_B(disc, u, stokes=False)
+    np.testing.assert_allclose(np.asarray(div), 0.0, atol=1e-12)
+
+
+def test_poiseuille_is_exact_ns_solution():
+    """On the plain channel (no cylinder) the parabolic profile with linear
+    pressure is an exact stationary NS solution representable in P2/P1; the
+    interior weak residual must vanish to machine precision."""
+    disc, geo = _disc(12, 6, with_cylinder=False)
+    nu = 0.05
+    H = 0.41
+    um = 1.0
+    y = disc.coords_v[:, 1]
+    x_p = disc.coords_p[:, 0]
+    u_ex = jnp.stack([4 * um * y * (H - y) / H**2, jnp.zeros_like(y)])
+    # dp/dx = -8 nu um / H^2, anchored so p(outlet) = p_out = 1
+    dpdx = -8 * nu * um / H**2
+    p_ex = 1.0 + dpdx * (x_p - geo.x1)
+    st = Blocks(u=u_ex, p=jnp.asarray(p_ex, disc.dtype))
+
+    dF = uops.diag_F(disc, nu, 0.0, uops.eval_state(disc, st), stokes=False)
+    r = uops.residual(
+        disc, nu, 0.0, st, jnp.zeros_like(u_ex), dF,
+        stokes=False, inlet_amp=0.0,
+    )
+    # Dirichlet rows carry diag * g (g = 0 here); interior rows must vanish
+    np.testing.assert_allclose(np.asarray(r.u), 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r.p), 0.0, atol=1e-10)
+
+
+def test_jacobian_matches_residual_differencing():
+    """J(u) dv ~ -(R(u + e dv) - R(u)) / e with the residual's sign
+    convention (rhs = -R)."""
+    disc, _ = _disc(8, 4)
+    rng = np.random.default_rng(0)
+    nu, inv_dt = 0.05, 10.0
+    u0 = Blocks(
+        u=jnp.asarray(0.1 * rng.standard_normal((2, disc.n_nodes_v))),
+        p=jnp.asarray(0.1 * rng.standard_normal(disc.n_nodes_p)),
+    )
+    dv = Blocks(
+        u=jnp.asarray(rng.standard_normal((2, disc.n_nodes_v))),
+        p=jnp.asarray(rng.standard_normal(disc.n_nodes_p)),
+    )
+    # keep the perturbation off the constrained rows
+    dv = Blocks(u=jnp.where(disc.u_dirichlet, 0.0, dv.u), p=dv.p)
+
+    linq = uops.eval_state(disc, u0)
+    dF = uops.diag_F(disc, nu, inv_dt, linq, stokes=False)
+    Jdv = uops.apply_jacobian(disc, nu, inv_dt, linq, dF, dv, stokes=False)
+
+    eps = 1e-7
+    u_old = jnp.zeros_like(u0.u)
+
+    def neg_res(st):
+        return uops.residual(
+            disc, nu, inv_dt, st, u_old, dF, stokes=False, inlet_amp=0.0
+        )
+
+    r0 = neg_res(u0)
+    r1 = neg_res(Blocks(u=u0.u + eps * dv.u, p=u0.p + eps * dv.p))
+    fd_u = (np.asarray(r0.u) - np.asarray(r1.u)) / eps
+    # the reference flips the continuity sign in the Newton Jacobian
+    # (NSSolver.cpp:461-463) while the residual keeps +div: the pressure
+    # row of J equals +d(rhs)/du, the velocity rows equal -d(rhs)/du
+    fd_p = (np.asarray(r1.p) - np.asarray(r0.p)) / eps
+    mask = ~np.asarray(disc.u_dirichlet)
+    np.testing.assert_allclose(
+        np.asarray(Jdv.u)[:, mask], fd_u[:, mask], rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(Jdv.p), fd_p, rtol=2e-5, atol=2e-5)
+
+
+def test_simplex_solver_matches_structured_drag():
+    """Coarse-mesh stationary solve: the simplex backend's drag coefficient
+    must land near the structured backend's (different discretizations of
+    the same problem -- loose agreement)."""
+    from navier_stokes_solver_tpu.api import NSSolverStationary, SolverOptions
+
+    common = dict(mesh_size=(24, 10), Re=10.0, solver_type=1,
+                  tolerance=1e-8, preconditioner_type=2, verbose=False)
+    s_tri = NSSolverStationary(SolverOptions(read_mesh_from_file=True, **common))
+    s_tri.setup()
+    s_tri.solve_newton()
+    s_tri.compute_lift_drag()
+    s_tri.compute_drag_coeff()
+
+    s_q = NSSolverStationary(
+        SolverOptions(degree_velocity=2, degree_pressure=1,
+                      multigrid=False, **common)
+    )
+    s_q.setup()
+    s_q.solve_newton()
+    s_q.compute_lift_drag()
+    s_q.compute_drag_coeff()
+
+    assert np.isfinite(s_tri.drag_coeff)
+    # voxelized-cylinder coarse meshes: expect O(10%) agreement
+    np.testing.assert_allclose(s_tri.drag_coeff, s_q.drag_coeff, rtol=0.2)
