@@ -19,7 +19,7 @@ slots in behind the same interface.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,10 @@ class PrecondConfig:
     # Iteration caps for inner solves (the reference uses 1e5..2e6; those are
     # effectively "unbounded" -- we bound them to keep worst cases finite).
     inner_maxiter: int = 2000
+    # Compute precision of the multigrid V-cycle (None = operator dtype).
+    # f32 halves HBM traffic and avoids emulated-f64 compute on TPU; the
+    # preconditioner only steers the full-precision outer Krylov iteration.
+    mg_dtype: Any = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,16 +113,20 @@ class LinearContext:
         dinv = 1.0 / self.diag_f
         return lambda x: dinv * x
 
-    def smoother_F(self):
+    def smoother_F(self, cfg: "PrecondConfig | None" = None):
         """Velocity-block smoother: geometric-multigrid V-cycle when a
         hierarchy is attached (the ILU/SSOR/AMG equivalence layer,
         SURVEY.md N10), point Jacobi otherwise."""
         if self.disc.mg is not None:
+            import jax.numpy as _jnp
+
             from navier_stokes_solver_tpu.precond.mg import make_mg_vcycle
 
+            mg_dtype = getattr(cfg, "mg_dtype", "float32")
             return make_mg_vcycle(
                 self.disc, self.nu, self.inv_dt, self.state_u,
                 stokes=self.stokes,
+                dtype=_jnp.dtype(mg_dtype) if mg_dtype else None,
             )
         return self.jacobi_F()
 
@@ -148,7 +156,7 @@ def make_block_diagonal(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     Stationary (NSSolverStationary.hpp:131-153): same solves to *relative*
     tolerance 1e-1, SSOR-preconditioned.
     """
-    mf, mp = ctx.smoother_F(), ctx.jacobi_Mp()
+    mf, mp = ctx.smoother_F(cfg), ctx.jacobi_Mp()
     dot, nrm = ctx.dot(), ctx.norm()
 
     def vmult(src: Blocks) -> Blocks:
@@ -184,7 +192,7 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     Stationary (NSSolverStationary.hpp:188-218): rel 1e-2 / 1e-2 with AMG on
     the velocity block and ILU on the pressure mass.
     """
-    mf, mp = ctx.smoother_F(), ctx.jacobi_Mp()
+    mf, mp = ctx.smoother_F(cfg), ctx.jacobi_Mp()
     dot, nrm = ctx.dot(), ctx.norm()
     rel_u = 1e-4 if variant == "unsteady" else 1e-2
     rel_p = 1e-5 if variant == "unsteady" else 1e-2
@@ -255,7 +263,7 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
     to rel 1e-1, then delta_p *= alpha and the velocity correction
     u -= D^-1 B^T delta_p; dst_p = delta_p.
     """
-    mf = ctx.smoother_F()
+    mf = ctx.smoother_F(cfg)
     dot, nrm = ctx.dot(), ctx.norm()
     D = ctx.diag_f
     Dinv = 1.0 / D

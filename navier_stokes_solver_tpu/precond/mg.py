@@ -66,8 +66,8 @@ def _interp_1d(n_src: int, n_dst: int, deg: int, nodes: np.ndarray) -> np.ndarra
 def attach_mg(
     disc: Disc,
     *,
-    min_cells: int = 12,
-    max_levels: int = 8,
+    min_cells: int = 48,
+    max_levels: int = 6,
     geo_kwargs: dict | None = None,
 ) -> Disc:
     """Attach a multigrid chain to ``disc`` (single-tile only).
@@ -126,7 +126,7 @@ def _zero_constrained(disc: Disc, x):
     return jnp.where(_interior_mask(disc), x, 0.0)
 
 
-def _estimate_lmax(A, dinv, shape, dtype, iters: int = 10):
+def _estimate_lmax(A, dinv, shape, dtype, iters: int = 8):
     """Power iteration for the spectral radius of ``D^-1 A`` (matrix-free,
     on device; the analog of Ifpack's eigenvalue estimate for Chebyshev)."""
     v = jax.random.normal(jax.random.PRNGKey(7), shape, dtype)
@@ -168,9 +168,10 @@ def make_mg_vcycle(
     state_u: jax.Array | None,
     *,
     stokes: bool,
-    smooth_degree: int = 3,
+    smooth_degree: int = 2,
     coarse_iters: int = 48,
     coarse_rtol: float = 5e-2,
+    dtype=None,
 ):
     """Build ``M(b) -> x`` : one V(smooth_degree, smooth_degree) cycle for the
     velocity block F at the current linearization.
@@ -178,11 +179,28 @@ def make_mg_vcycle(
     ``state_u`` is the fine-level velocity field (None in the Stokes
     regime); it is restricted through the chain to rediscretize the
     linearized convection on every level.
+
+    ``dtype``: compute precision of the cycle.  The preconditioner only
+    steers the (full-precision) outer Krylov iteration, so f32 is safe and
+    avoids the TPU's emulated-f64 cost; the result is cast back to the
+    input dtype.
     """
+    out_dtype = disc.dtype
+    if dtype is not None and dtype != disc.dtype:
+        cast = lambda a: (
+            a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+        )
+        disc = jax.tree_util.tree_map(cast, disc)
+        if state_u is not None:
+            state_u = state_u.astype(dtype)
+        nu = jnp.asarray(nu, dtype)
+        inv_dt = jnp.asarray(inv_dt, dtype)
+
     # ---- walk the chain, building per-level operators ----
     levels = []  # (disc, A, dinv, lmax, edge)
     d = disc
     u = state_u
+    lmax = None
     while True:
         if stokes or u is None:
             linq = None
@@ -198,7 +216,11 @@ def make_mg_vcycle(
             return apply_F(_d, nu, inv_dt, _l, x, stokes=stokes, bc_diag=_dg)
 
         dinv = 1.0 / diag
-        lmax = _estimate_lmax(A, dinv, (2,) + d.NV, d.dtype)
+        if lmax is None:
+            # Jacobi-normalized FEM spectra are essentially mesh-size
+            # independent: estimate once on the finest level, reuse below
+            # (with headroom from the 1.1x window in _chebyshev).
+            lmax = _estimate_lmax(A, dinv, (2,) + d.NV, d.dtype)
         levels.append((d, A, dinv, lmax, d.mg))
         if d.mg is None:
             break
@@ -232,4 +254,8 @@ def make_mg_vcycle(
         x = x + _zero_constrained(d, prolong(edge, xc))
         return _chebyshev(A, dinv, lmax, b, x, smooth_degree)
 
-    return lambda b: vcycle(0, b)
+    def M(b):
+        x = vcycle(0, b.astype(disc.dtype))
+        return x.astype(out_dtype)
+
+    return M
