@@ -243,7 +243,21 @@ class NSSolverBase:
         if not self.options.write_output:
             return
         if self.space is None:
-            return  # unstructured VTU output not yet wired
+            import os
+
+            from navier_stokes_solver_tpu.io.vtu import write_vtu_tri
+
+            os.makedirs(self.options.output_dir, exist_ok=True)
+            write_vtu_tri(
+                self.disc,
+                np.asarray(self.solution.u),
+                np.asarray(self.solution.p),
+                os.path.join(
+                    self.options.output_dir,
+                    f"output_{time_step or 0:03d}.0.vtu",
+                ),
+            )
+            return
         from navier_stokes_solver_tpu.io import write_vtu_record
 
         write_vtu_record(

@@ -143,6 +143,89 @@ def write_vtu(
     return path
 
 
+def write_vtu_tri(
+    disc,
+    u: np.ndarray,
+    p: np.ndarray,
+    path: str,
+    *,
+    partitioning: np.ndarray | None = None,
+) -> str:
+    """VTU output for the unstructured P2/P1 backend (triangle cells,
+    fields sampled at vertices)."""
+    coords = np.asarray(disc.coords_p)
+    tri = np.asarray(disc.dofs_p, dtype=np.int32)
+    n_pts = coords.shape[0]
+    n_cells = tri.shape[0]
+    points = np.zeros((n_pts, 3))
+    points[:, :2] = coords
+    vel = np.zeros((n_pts, 3))
+    vel[:, 0] = np.asarray(u)[0, :n_pts]
+    vel[:, 1] = np.asarray(u)[1, :n_pts]
+    pres = np.asarray(p)
+    if partitioning is None:
+        partitioning = np.zeros(n_cells)
+
+    # (the native writer emits quad cells; triangles use the Python path)
+    parts = []
+    parts.append('<?xml version="1.0"?>')
+    parts.append(
+        '<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">'
+    )
+    parts.append("<UnstructuredGrid>")
+    parts.append(f'<Piece NumberOfPoints="{n_pts}" NumberOfCells="{n_cells}">')
+    parts.append("<Points>")
+    parts.append(
+        '<DataArray type="Float64" NumberOfComponents="3" format="binary">'
+        + _b64_block(points.astype("<f8"))
+        + "</DataArray>"
+    )
+    parts.append("</Points>")
+    parts.append("<Cells>")
+    offsets = (np.arange(n_cells, dtype=np.int32) + 1) * 3
+    types = np.full(n_cells, 5, dtype=np.uint8)  # VTK_TRIANGLE
+    parts.append(
+        '<DataArray type="Int32" Name="connectivity" format="binary">'
+        + _b64_block(tri.astype("<i4"))
+        + "</DataArray>"
+    )
+    parts.append(
+        '<DataArray type="Int32" Name="offsets" format="binary">'
+        + _b64_block(offsets)
+        + "</DataArray>"
+    )
+    parts.append(
+        '<DataArray type="UInt8" Name="types" format="binary">'
+        + _b64_block(types)
+        + "</DataArray>"
+    )
+    parts.append("</Cells>")
+    parts.append('<PointData Vectors="velocity">')
+    parts.append(
+        '<DataArray type="Float64" Name="velocity" NumberOfComponents="3" '
+        'format="binary">' + _b64_block(vel.astype("<f8")) + "</DataArray>"
+    )
+    parts.append(
+        '<DataArray type="Float64" Name="pressure" format="binary">'
+        + _b64_block(pres.astype("<f8"))
+        + "</DataArray>"
+    )
+    parts.append("</PointData>")
+    parts.append("<CellData>")
+    parts.append(
+        '<DataArray type="Float64" Name="partitioning" format="binary">'
+        + _b64_block(np.asarray(partitioning, dtype=np.float64))
+        + "</DataArray>"
+    )
+    parts.append("</CellData>")
+    parts.append("</Piece>")
+    parts.append("</UnstructuredGrid>")
+    parts.append("</VTKFile>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path
+
+
 def write_vtu_record(
     space: FESpace,
     u: np.ndarray,

@@ -90,3 +90,20 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(s2.solution.u), np.asarray(s1.solution.u)
     )
+
+
+def test_vtu_tri_output(tmp_path):
+    from navier_stokes_solver_tpu.geometry import make_channel_geometry
+    from navier_stokes_solver_tpu.io.vtu import write_vtu_tri
+    from navier_stokes_solver_tpu.unstructured import (
+        make_simplex_disc,
+        triangulate_channel,
+    )
+
+    disc = make_simplex_disc(*triangulate_channel(make_channel_geometry(10, 5)))
+    u = np.zeros((2, disc.n_nodes_v))
+    p = np.ones(disc.n_nodes_p)
+    path = str(tmp_path / "tri.vtu")
+    write_vtu_tri(disc, u, p, path)
+    content = open(path).read()
+    assert "UnstructuredGrid" in content and "velocity" in content
