@@ -50,6 +50,11 @@ class PrecondConfig:
     # f32 halves HBM traffic and avoids emulated-f64 compute on TPU; the
     # preconditioner only steers the full-precision outer Krylov iteration.
     mg_dtype: Any = "float32"
+    # Compute precision of the whole preconditioner application (inner
+    # solves included).  The outer Krylov iteration stays in the operator
+    # dtype (f64), so this is the classic mixed-precision flexible-GMRES
+    # setup; None = operator dtype.
+    vmult_dtype: Any = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -301,6 +306,29 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
     return vmult
 
 
+def _cast_floating(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
+def _cast_ctx(ctx: LinearContext, dtype) -> LinearContext:
+    """Re-land the whole linearization in ``dtype`` (for mixed-precision
+    preconditioning: f32 inner solves inside the f64 outer Krylov)."""
+    return dataclasses.replace(
+        ctx,
+        disc=_cast_floating(ctx.disc, dtype),
+        linq=None if ctx.linq is None else _cast_floating(ctx.linq, dtype),
+        diag_f=ctx.diag_f.astype(dtype),
+        state_u=None if ctx.state_u is None else ctx.state_u.astype(dtype),
+        nu=jnp.asarray(ctx.nu, dtype),
+        inv_dt=jnp.asarray(ctx.inv_dt, dtype),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dispatch (mirrors NSSolver.cpp:607-668)
 # ---------------------------------------------------------------------------
@@ -319,13 +347,29 @@ def make_preconditioner(
     cfg = cfg or PrecondConfig()
     if variant not in ("unsteady", "stationary"):
         raise ValueError(f"unknown variant {variant!r}")
+
+    out_dtype = ctx.disc.dtype
+    vd = jnp.dtype(cfg.vmult_dtype) if cfg.vmult_dtype else None
+    if vd is not None and vd != out_dtype:
+        ctx = _cast_ctx(ctx, vd)
+
     if kind == 0:
-        return make_block_diagonal(ctx, cfg, variant)
-    if kind == 1:
-        return make_block_triangular(ctx, cfg, variant)
-    if kind == 2:
-        return make_asimple(ctx, cfg, variant, alpha)
-    raise ValueError(
-        "Invalid preconditioner type. Use 0: blockDiagonal, "
-        "1: blockTriangular, 2: aSIMPLE."
-    )  # NSSolver.cpp:667
+        vmult = make_block_diagonal(ctx, cfg, variant)
+    elif kind == 1:
+        vmult = make_block_triangular(ctx, cfg, variant)
+    elif kind == 2:
+        vmult = make_asimple(ctx, cfg, variant, alpha)
+    else:
+        raise ValueError(
+            "Invalid preconditioner type. Use 0: blockDiagonal, "
+            "1: blockTriangular, 2: aSIMPLE."
+        )  # NSSolver.cpp:667
+
+    if vd is None or vd == out_dtype:
+        return vmult
+
+    def vmult_mixed(src: Blocks) -> Blocks:
+        out = vmult(_cast_floating(src, vd))
+        return _cast_floating(out, out_dtype)
+
+    return vmult_mixed
