@@ -140,6 +140,9 @@ class NSSolver(NSSolverBase):
             self.compute_lift_drag()
             self.print_lift_coeff()
             self.print_drag_coeff()
+            if o.write_output:
+                # per-Re coefficient files (unsteady only, NSSolver.cpp:976)
+                self.write_lift_drag_to_file()
             self.history.append(
                 dict(
                     phase="step",
@@ -152,3 +155,67 @@ class NSSolver(NSSolverBase):
                 )
             )
             self.log("")
+
+    # ------------------------------------------------------------------
+    def solve_fused(self, *, newton_max: int | None = None,
+                    newton_tol: float | None = None,
+                    krylov_maxiter: int = 2000):
+        """Fully on-device time loop (performance path).
+
+        The whole run -- every implicit-Euler step with its Newton loop,
+        line search, Krylov solve, preconditioner and lift/drag integral --
+        executes as ONE compiled ``lax.scan``; per-step coefficients stream
+        out as scan outputs.  This removes the reference's per-step host
+        round trips (NSSolver.cpp:814-836).  Numerics note: the fused step
+        solves at the target viscosity directly (warm-started), instead of
+        re-running the Re-continuation ramp inside every step.
+        """
+        from navier_stokes_solver_tpu.ops.disc import Disc
+        from navier_stokes_solver_tpu.timeloop import (
+            initial_state,
+            make_time_step,
+            run_time_loop,
+        )
+
+        if not isinstance(self.disc, Disc):
+            raise NotImplementedError(
+                "solve_fused requires the structured backend"
+            )
+        o = self.options
+        n_steps = int(round(o.time_span / o.time_step))
+        step = make_time_step(
+            self.disc,
+            solver_type=o.solver_type,
+            prec_type=o.preconditioner_type,
+            tol=o.tolerance,
+            newton_max=newton_max or self.NEWTON_MAX_ITERS,
+            newton_tol=newton_tol or self.NEWTON_TOL,
+            krylov_maxiter=krylov_maxiter,
+        )
+        ts0 = initial_state(self.disc)._replace(solution=self.solution)
+        self.nu = 1.0 / self.Re
+        final, hist = run_time_loop(
+            step, ts0, self.nu, o.time_step, n_steps
+        )
+        self.solution = final.solution
+        self.time = float(final.time)
+        self.time_step_index = int(final.step)
+        self.drag_force = float(final.drag)
+        self.lift_force = float(final.lift)
+        self.compute_drag_coeff()
+        self.compute_lift_coeff()
+        import numpy as np
+
+        for i in range(n_steps):
+            self.history.append(
+                dict(
+                    phase="step",
+                    time=(i + 1) * o.time_step,
+                    step=i + 1,
+                    drag_force=float(np.asarray(hist["drag"])[i]),
+                    lift_force=float(np.asarray(hist["lift"])[i]),
+                    newton_iters=int(np.asarray(hist["newton_iters"])[i]),
+                    krylov_iters=int(np.asarray(hist["krylov_iters"])[i]),
+                )
+            )
+        return hist

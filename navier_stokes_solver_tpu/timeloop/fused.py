@@ -123,15 +123,21 @@ def make_time_step(
     newton_max: int = 10,
     newton_tol: float = 1e-9,
     krylov_maxiter: int = 2000,
+    inlet_amp: float = 0.3,
 ):
-    """Build ``step(state, nu, dt) -> TimeState`` (jit/vmap/shard friendly)."""
+    """Build ``step(state, nu, dt) -> TimeState`` (jit/vmap/shard friendly).
 
-    def assemble(sol: Blocks, u_old, nu, inv_dt):
+    ``inlet_amp``: inlet amplitude U_m lifted into the Dirichlet rows on
+    the very first assembly of the run (``apply_first`` semantics,
+    NSSolver.cpp:573-580; U_m = 0.3 per NSSolver.hpp:88); afterwards the
+    increment formulation keeps boundary updates at zero."""
+
+    def assemble(sol: Blocks, u_old, nu, inv_dt, amp=0.0):
         dot = make_dot(disc)
         linq = eval_state(disc, sol)
         dF = diag_F(disc, nu, inv_dt, linq, stokes=False)
         rhs = residual(
-            disc, nu, inv_dt, sol, u_old, dF, stokes=False, inlet_amp=0.0
+            disc, nu, inv_dt, sol, u_old, dF, stokes=False, inlet_amp=amp
         )
         return rhs, jnp.sqrt(dot(rhs, rhs))
 
@@ -139,7 +145,8 @@ def make_time_step(
         inv_dt = 1.0 / dt
         u_old = ts.solution.u
 
-        rhs0, rn0 = assemble(ts.solution, u_old, nu, inv_dt)
+        amp0 = jnp.where(ts.step == 0, inlet_amp, 0.0)
+        rhs0, rn0 = assemble(ts.solution, u_old, nu, inv_dt, amp0)
 
         def newton_cond(c):
             sol, rhs, rn, prev, n_iter, kry, stall = c
