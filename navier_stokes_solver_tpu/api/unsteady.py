@@ -193,7 +193,13 @@ class NSSolver(NSSolverBase):
             krylov_maxiter=krylov_maxiter,
         )
         ts0 = initial_state(self.disc)._replace(solution=self.solution)
-        self.nu = 1.0 / self.Re
+        # the reference's per-step ramp current_Re = 1, 11, 21, ... never
+        # exceeds the target, so its final (effective) viscosity is
+        # 1 / (1 + 10 k) (NSSolver.cpp:684-687); reproduce that here
+        eff_re = (
+            1.0 + 10.0 * ((self.Re - 1.0) // 10.0) if self.Re >= 1.0 else self.Re
+        )
+        self.nu = 1.0 / eff_re
         final, hist = run_time_loop(
             step, ts0, self.nu, o.time_step, n_steps
         )

@@ -1,0 +1,83 @@
+"""Golden regression values for full solves.
+
+The reference has no tests; its correctness evidence is the Schaefer-Turek
+benchmark itself plus recorded lift/drag artifacts (SURVEY.md section 4).
+These goldens freeze our solver's converged outputs on small configs so
+numerical regressions (operator sign slips, BC drift, continuation-path
+changes) trip immediately.  Values computed with the f64 host path at
+tolerance 1e-10; agreement demanded to 1e-6 (the BASELINE field gate).
+"""
+
+import numpy as np
+import pytest
+
+from navier_stokes_solver_tpu.api import (
+    NSSolver,
+    NSSolverStationary,
+    SolverOptions,
+)
+
+# Q3/Q2 structured, 40x16, target Re = 30, FGMRES + blockTriangular
+GOLDEN_STATIONARY_DRAG_COEFF = 6.356664346823294
+# lift is ~0: the reference centers the cylinder at (0.2, (y0+y1)/2), which
+# makes the voxelized geometry symmetric (NSSolver.cpp:13-27)
+GOLDEN_STATIONARY_LIFT_BOUND = 1e-6
+
+
+@pytest.mark.slow
+def test_stationary_golden_drag():
+    s = NSSolverStationary(
+        SolverOptions(
+            mesh_size=(40, 16),
+            Re=30.0,
+            solver_type=1,
+            tolerance=1e-10,
+            preconditioner_type=1,
+            verbose=False,
+        )
+    )
+    s.setup()
+    s.solve_newton()
+    s.compute_lift_drag()
+    s.compute_drag_coeff()
+    s.compute_lift_coeff()
+    np.testing.assert_allclose(
+        s.drag_coeff, GOLDEN_STATIONARY_DRAG_COEFF, rtol=1e-6
+    )
+    assert abs(s.lift_coeff) < GOLDEN_STATIONARY_LIFT_BOUND
+
+
+def test_stationary_solver_paths_agree():
+    """The three preconditioners must converge to the same fields (they
+    change the path, not the answer)."""
+    base = dict(mesh_size=(24, 10), degree_velocity=2, degree_pressure=1,
+                Re=20.0, solver_type=1, tolerance=1e-10, verbose=False)
+    drags = []
+    for prec in (0, 1, 2):
+        s = NSSolverStationary(SolverOptions(preconditioner_type=prec, **base))
+        s.setup()
+        s.solve_newton()
+        s.compute_lift_drag()
+        drags.append(s.drag_force)
+    np.testing.assert_allclose(drags[0], drags[1], rtol=1e-7)
+    np.testing.assert_allclose(drags[0], drags[2], rtol=1e-7)
+
+
+def test_unsteady_host_vs_fused_drag():
+    """The host fidelity path and the fused on-device path integrate the
+    same implicit-Euler dynamics; after a few steps from rest their drag
+    must agree (both solve to tight Newton tolerances; the fused path skips
+    the per-step Re ramp, which only affects the solve path)."""
+    common = dict(mesh_size=(24, 10), degree_velocity=2, degree_pressure=1,
+                  Re=30.0, time_span=0.03, time_step=0.01, solver_type=1,
+                  tolerance=1e-10, preconditioner_type=2, verbose=False,
+                  multigrid=False)
+    host = NSSolver(SolverOptions(**common))
+    host.setup()
+    host.solve()
+
+    fused = NSSolver(SolverOptions(**common))
+    fused.setup()
+    fused.solve_fused(newton_max=10, newton_tol=1e-9)
+
+    np.testing.assert_allclose(fused.drag_force, host.drag_force, rtol=1e-4)
