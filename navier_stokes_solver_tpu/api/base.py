@@ -40,6 +40,7 @@ class SolverOptions:
     verbose: bool = True
     write_output: bool = False  # VTU snapshots (reference writes always)
     output_dir: str = "."
+    profile_dir: str = ""  # capture a jax.profiler trace of solves here
 
 
 class NSSolverBase:
@@ -68,6 +69,9 @@ class NSSolverBase:
         self.lift_coeff = 0.0
         self.drag_coeff = 0.0
         self._is_setup = False
+        from navier_stokes_solver_tpu.obs import PhaseTimer
+
+        self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------
     def log(self, *msg):
@@ -147,22 +151,26 @@ class NSSolverBase:
 
     def assemble_system(self, stokes: bool, lifting: bool) -> float:
         """Assemble rhs = -R with BC; returns its l2 norm."""
-        self.rhs, rn = kernels.assemble_kernel(
-            self.disc,
-            self.nu,
-            self.inv_dt,
-            self.solution,
-            self.solution_old.u,
-            self._inlet_amp(lifting),
-            stokes=stokes,
-        )
-        return float(rn)
+        with self.timer.phase("assemble"):
+            self.rhs, rn = kernels.assemble_kernel(
+                self.disc,
+                self.nu,
+                self.inv_dt,
+                self.solution,
+                self.solution_old.u,
+                self._inlet_amp(lifting),
+                stokes=stokes,
+            )
+            rn = float(rn)
+        return rn
 
     def solve_system(self, stokes: bool, lifting: bool) -> int:
         """Tangent solve; prints and returns the Krylov iteration count
         (NSSolver.cpp:601-672)."""
         o = self.options
         self.log(f"Solver tolerance: {o.tolerance}")
+        timer_ctx = self.timer.phase("krylov_solve")
+        timer_ctx.__enter__()
         self.delta, info = kernels.solve_kernel(
             self.disc,
             self.nu,
@@ -178,7 +186,8 @@ class NSSolverBase:
             variant=self.VARIANT,
             maxiter=self.KRYLOV_MAXITER,
         )
-        iters = int(info.iters)
+        iters = int(info.iters)  # blocks until the solve finishes
+        timer_ctx.__exit__(None, None, None)
         self.log(f"   {iters} iterations")
         return iters
 
@@ -188,7 +197,10 @@ class NSSolverBase:
     def compute_lift_drag(self):
         self.log("===============================================")
         self.log("Computing lift and drag forces")
-        drag, lift = kernels.lift_drag_kernel(self.disc, self.nu, self.solution)
+        with self.timer.phase("lift_drag"):
+            drag, lift = kernels.lift_drag_kernel(
+                self.disc, self.nu, self.solution
+            )
         self.drag_force = float(drag)
         self.lift_force = float(lift)
         self.log(f"Lift force: {self.lift_force}")

@@ -64,6 +64,8 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
     p.add_argument("--output", action="store_true", help="write VTU snapshots")
     p.add_argument("--output-dir", default=".", metavar="DIR")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--profile-dir", default="", metavar="DIR",
+                   help="capture a jax.profiler trace of the solve")
     p.add_argument("--f32", action="store_true", help="fp32 throughput mode")
     return p
 
@@ -89,6 +91,7 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
         verbose=not args.quiet,
         write_output=args.output,
         output_dir=args.output_dir,
+        profile_dir=args.profile_dir,
     )
     if unsteady:
         ts, dt = _pair(args.timespan_step, float, "timespan-step")

@@ -13,11 +13,21 @@ def main(argv=None):
     echo_config(opts, unsteady=False)
     problem = NSSolverStationary(opts)
     problem.setup()
-    problem.solve_newton()
+    if opts.profile_dir:
+        from navier_stokes_solver_tpu.obs import trace_to
+
+        with trace_to(opts.profile_dir):
+            problem.solve_newton()
+    else:
+        problem.solve_newton()
     problem.output()
     problem.compute_lift_drag()
     problem.print_lift_coeff()
     problem.print_drag_coeff()
+    if opts.verbose:
+        import json
+
+        print("phase timings:", json.dumps(problem.timer.summary()))
     return 0
 
 

@@ -13,7 +13,17 @@ def main(argv=None):
     echo_config(opts, unsteady=True)
     problem = NSSolver(opts)
     problem.setup()
-    problem.solve()
+    if opts.profile_dir:
+        from navier_stokes_solver_tpu.obs import trace_to
+
+        with trace_to(opts.profile_dir):
+            problem.solve()
+    else:
+        problem.solve()
+    if opts.verbose:
+        import json
+
+        print("phase timings:", json.dumps(problem.timer.summary()))
     return 0
 
 
