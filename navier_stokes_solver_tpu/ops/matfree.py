@@ -298,10 +298,20 @@ def apply_F(
     (the post-``apply_boundary_values`` matrix, as used for preconditioner
     inner solves on the velocity block, NSSolver.cpp:609).
     """
-    xv, xg = _eval_v(disc, x_u)
-    if stokes:
+    from navier_stokes_solver_tpu.ops.pallas_cell import (
+        cell_apply_F_pallas,
+        pallas_enabled,
+    )
+
+    if pallas_enabled():
+        x_loc = _gather_v(disc, x_u)
+        loc = cell_apply_F_pallas(disc, nu, inv_dt, linq, x_loc, stokes=stokes)
+        y = _scatter_v(disc, loc)
+    elif stokes:
+        xv, xg = _eval_v(disc, x_u)
         y = _project_v(disc, None, nu * xg)
     else:
+        xv, xg = _eval_v(disc, x_u)
         f_val = _convection_linearized(linq, xv, xg) + inv_dt * xv
         y = _project_v(disc, f_val, nu * xg)
     if bc_diag is not None:

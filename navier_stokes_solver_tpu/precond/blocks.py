@@ -55,6 +55,17 @@ class PrecondConfig:
     # dtype (f64), so this is the classic mixed-precision flexible-GMRES
     # setup; None = operator dtype.
     vmult_dtype: Any = "float32"
+    # Inner-solve strategy for the velocity / pressure-mass blocks:
+    #   "krylov": nested FGMRES/CG to the reference's tolerances
+    #             (NSSolver.hpp:159-176 semantics);
+    #   "fixed":  a fixed number of MG V-cycles (velocity) and Chebyshev
+    #             sweeps (pressure mass) -- no nested iteration, much
+    #             smaller XLA programs, linear preconditioner;
+    #   "auto":   "fixed" when a multigrid hierarchy is attached, else
+    #             "krylov".
+    inner_mode: str = "auto"
+    fixed_f_cycles: int = 2
+    fixed_mp_degree: int = 6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,6 +159,43 @@ def _zeros_p(ctx: LinearContext):
     return ctx.disc.zeros_p()
 
 
+def _resolve_inner_mode(ctx: LinearContext, cfg: PrecondConfig) -> str:
+    if cfg.inner_mode == "auto":
+        return "fixed" if ctx.disc.mg is not None else "krylov"
+    return cfg.inner_mode
+
+
+def _fixed_F_solver(ctx: LinearContext, cfg: PrecondConfig, mf):
+    """Fixed-cycle velocity solve: V-cycle + residual-corrected repeats
+    (the AMG-preconditioned-inner-solve equivalence when no nested Krylov
+    iteration is affordable in one XLA program)."""
+
+    def solve(rhs):
+        du = mf(rhs)
+        for _ in range(cfg.fixed_f_cycles - 1):
+            du = du + mf(rhs - ctx.F(du))
+        return du
+
+    return solve
+
+
+def _fixed_Mp_solver(ctx: LinearContext, cfg: PrecondConfig):
+    """Chebyshev-Jacobi sweeps on the (well-conditioned) pressure mass."""
+    from navier_stokes_solver_tpu.precond.mg import _chebyshev, _estimate_lmax
+
+    dinv = 1.0 / ctx.ops.diag_Mp(ctx.disc, ctx.nu)
+    zp = _zeros_p(ctx)
+    lmax = _estimate_lmax(ctx.Mp, dinv, zp.shape, zp.dtype, iters=5)
+
+    def solve(rhs):
+        return _chebyshev(
+            ctx.Mp, dinv, lmax, rhs, jnp.zeros_like(rhs),
+            cfg.fixed_mp_degree, lmin_ratio=30.0,
+        )
+
+    return solve
+
+
 # ---------------------------------------------------------------------------
 # blockDiagonal
 # ---------------------------------------------------------------------------
@@ -163,6 +211,15 @@ def make_block_diagonal(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     """
     mf, mp = ctx.smoother_F(cfg), ctx.jacobi_Mp()
     dot, nrm = ctx.dot(), ctx.norm()
+
+    if _resolve_inner_mode(ctx, cfg) == "fixed":
+        solve_f = _fixed_F_solver(ctx, cfg, mf)
+        solve_p = _fixed_Mp_solver(ctx, cfg)
+
+        def vmult(src: Blocks) -> Blocks:
+            return Blocks(u=solve_f(src.u), p=solve_p(src.p))
+
+        return vmult
 
     def vmult(src: Blocks) -> Blocks:
         if variant == "unsteady":
@@ -201,6 +258,17 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     dot, nrm = ctx.dot(), ctx.norm()
     rel_u = 1e-4 if variant == "unsteady" else 1e-2
     rel_p = 1e-5 if variant == "unsteady" else 1e-2
+
+    if _resolve_inner_mode(ctx, cfg) == "fixed":
+        solve_f = _fixed_F_solver(ctx, cfg, mf)
+        solve_p = _fixed_Mp_solver(ctx, cfg)
+
+        def vmult(src: Blocks) -> Blocks:
+            du = solve_f(src.u)
+            tmp = src.p - ctx.B(du)
+            return Blocks(u=du, p=solve_p(tmp))
+
+        return vmult
 
     def vmult(src: Blocks) -> Blocks:
         du, _ = fgmres(
@@ -287,16 +355,22 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
 
     else:
 
+        fixed = _resolve_inner_mode(ctx, cfg) == "fixed"
+        solve_f = _fixed_F_solver(ctx, cfg, mf) if fixed else None
+
         def vmult(src: Blocks) -> Blocks:
-            du, _ = fgmres(
-                ctx.F,
-                src.u,
-                _zeros_u(ctx),
-                tol=1e-1 * nrm(src.u),
-                maxiter=cfg.inner_maxiter,
-                M=mf,
-                dot=dot,
-            )
+            if fixed:
+                du = solve_f(src.u)
+            else:
+                du, _ = fgmres(
+                    ctx.F,
+                    src.u,
+                    _zeros_u(ctx),
+                    tol=1e-1 * nrm(src.u),
+                    maxiter=cfg.inner_maxiter,
+                    M=mf,
+                    dot=dot,
+                )
             tmp_p = src.p - ctx.B(du)
             dp = _solve_S(ctx, cfg, tmp_p, tol=1e-1 * nrm(tmp_p))
             dp = dp * alpha

@@ -141,10 +141,13 @@ def _estimate_lmax(A, dinv, shape, dtype, iters: int = 8):
     return lam
 
 
-def _chebyshev(A, dinv, lmax, b, x, degree: int):
-    """``degree`` steps of Chebyshev-accelerated Jacobi on [lmax/4, 1.1 lmax]
-    (the classic smoothing window; only the high end must be damped)."""
-    lmin = lmax / 4.0
+def _chebyshev(A, dinv, lmax, b, x, degree: int, lmin_ratio: float = 4.0):
+    """``degree`` steps of Chebyshev-accelerated Jacobi on
+    [lmax/lmin_ratio, 1.1 lmax].  ``lmin_ratio = 4`` is the classic
+    smoothing window (only the high end must be damped); larger ratios
+    approximate a solver over the full spectrum of well-conditioned
+    operators (e.g. the pressure mass matrix)."""
+    lmin = lmax / lmin_ratio
     lmax = 1.1 * lmax
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
