@@ -41,6 +41,8 @@ class SolverOptions:
     write_output: bool = False  # VTU snapshots (reference writes always)
     output_dir: str = "."
     profile_dir: str = ""  # capture a jax.profiler trace of solves here
+    fused: bool = False  # unsteady: fully on-device lax.scan time loop
+    write_mesh: bool = False  # write mesh.msh at setup (NSSolver.cpp:108)
 
 
 class NSSolverBase:
@@ -121,6 +123,12 @@ class NSSolverBase:
             n_el = self.geo.n_active_cells
             n_dofs_v = self.space.n_dofs_velocity
             n_dofs_p = self.space.n_dofs_pressure
+            if o.write_mesh:
+                # the reference always writes the generated mesh
+                # (GridOut::write_msh, NSSolver.cpp:108-110); opt-in here
+                from navier_stokes_solver_tpu.io import write_msh
+
+                write_msh(self.geo, "mesh.msh")
         self.log(f"  Number of elements = {n_el}")
         self.log("-----------------------------------------------")
         self.log("Initializing the finite element space")

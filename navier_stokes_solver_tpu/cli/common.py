@@ -28,6 +28,12 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
             metavar="T,D",
             help="time span and time step (two floats separated by a comma)",
         )
+        p.add_argument(
+            "--fused",
+            action="store_true",
+            help="run the whole time loop on device as one lax.scan "
+            "(performance path; skips the per-step Re continuation ramp)",
+        )
     p.add_argument(
         "-M",
         "--read-mesh-from-file",
@@ -96,6 +102,7 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
     if unsteady:
         ts, dt = _pair(args.timespan_step, float, "timespan-step")
         opts.time_span, opts.time_step = ts, dt
+        opts.fused = args.fused
         if dt <= 0 or ts <= 0:
             print(
                 "Error: time_step, time_span, and tolerance must be positive",

@@ -13,13 +13,17 @@ def main(argv=None):
     echo_config(opts, unsteady=True)
     problem = NSSolver(opts)
     problem.setup()
+    run = problem.solve_fused if opts.fused else problem.solve
     if opts.profile_dir:
         from navier_stokes_solver_tpu.obs import trace_to
 
         with trace_to(opts.profile_dir):
-            problem.solve()
+            run()
     else:
-        problem.solve()
+        run()
+    if opts.fused:
+        problem.print_lift_coeff()
+        problem.print_drag_coeff()
     if opts.verbose:
         import json
 

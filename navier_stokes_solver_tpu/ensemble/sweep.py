@@ -25,15 +25,27 @@ def initial_ensemble_state(disc: Disc, batch: int) -> TimeState:
     )
 
 
-def run_sweep(disc: Disc, nus, dt, n_steps: int, **step_kwargs):
+def run_sweep(disc: Disc, nus, dt, n_steps: int, mesh=None, **step_kwargs):
     """Run B simultaneous unsteady simulations (one per viscosity).
 
-    Returns the final batched state and per-step [T, B] drag/lift arrays.
+    ``mesh``: optional device mesh with an ``'ens'`` axis; batch members are
+    then sharded across devices (the TPU analog of the reference's separate
+    SLURM jobs per parameter, run_sim_steady.sh).  Returns the final batched
+    state and per-step [T, B] drag/lift arrays.
     """
     nus = jnp.asarray(nus, disc.dtype)
     batch = nus.shape[0]
     step = make_ensemble_step(disc, **step_kwargs)
     ts0 = initial_ensemble_state(disc, batch)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ens = NamedSharding(mesh, P("ens"))
+        nus = jax.device_put(nus, ens)
+        ts0 = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, NamedSharding(mesh, P("ens"))), ts0
+        )
 
     def body(ts, _):
         ts = step(ts, nus, dt)

@@ -28,3 +28,19 @@ def test_sweep_batches_match_individual_runs():
         np.testing.assert_allclose(
             float(ts.drag), float(final.drag[b]), rtol=1e-6, atol=2e-9
         )
+
+
+def test_sweep_sharded_over_ens_axis():
+    import jax
+
+    from navier_stokes_solver_tpu.dist import make_mesh
+
+    disc = make_disc(make_fe_space(make_channel_geometry(16, 8), 2, 1))
+    mesh = make_mesh(n_x=1, n_ens=8, devices=jax.devices()[:8])
+    nus = [0.02 * (i + 1) for i in range(8)]
+    final, hist = run_sweep(
+        disc, nus, 0.01, 2, mesh=mesh,
+        solver_type=1, prec_type=2, tol=1e-8, newton_max=2, krylov_maxiter=100,
+    )
+    assert hist["drag"].shape == (2, 8)
+    assert np.all(np.isfinite(np.asarray(hist["drag"])))
