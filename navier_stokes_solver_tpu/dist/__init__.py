@@ -16,6 +16,7 @@ from navier_stokes_solver_tpu.dist.halo import (
     device_put_dist,
     gather_blocks,
     init_dist_state,
+    make_dd_mesh,
     make_dist_time_step,
     scatter_blocks,
 )
@@ -23,6 +24,7 @@ from navier_stokes_solver_tpu.dist.mesh import make_mesh
 
 __all__ = [
     "make_mesh",
+    "make_dd_mesh",
     "decompose_disc",
     "scatter_blocks",
     "gather_blocks",

@@ -1,24 +1,24 @@
-"""1-D domain decomposition with explicit halo exchange under ``shard_map``.
+"""1-D/2-D domain decomposition with explicit halo exchange under ``shard_map``.
 
 TPU-native equivalent of the reference's MPI domain decomposition
 (deal.II ``parallel::fullydistributed::Triangulation`` + Trilinos ghost
 exchange, NSSolver.cpp:98-102, :560-562; SURVEY.md N2/2c): the channel is
-split into ``n_dev`` tiles of cell columns along x.  Each tile stores its
-lattice-node slab *including* the seam columns shared with its neighbors
-(the analog of ghost DoFs).  Inside ``shard_map``:
+split into tiles of cells along x (and optionally y).  Each tile stores its
+lattice-node slab *including* the seam rows/columns shared with its
+neighbors (the analog of ghost DoFs).  Inside ``shard_map``:
 
-  * cell-local operator scatters complete their seam partial sums with two
-    ``lax.ppermute`` ring exchanges (``ops.matfree._seam_sum``) -- the
-    ``compress(VectorOperation::add)`` analog, riding ICI;
-  * inner products weight duplicated seam columns by 1/2 (exact in floating
-    point) and ``psum`` over the mesh axis -- the dot-product allreduce
-    analog;
+  * cell-local operator scatters complete their seam partial sums with
+    ``lax.ppermute`` ring exchanges per axis (``ops.matfree._seam_sum``) --
+    the ``compress(VectorOperation::add)`` analog, riding ICI; the
+    x-exchange runs before the y-exchange so corner nodes sum correctly;
+  * inner products weight duplicated seams by 1/2 per axis (corners 1/4 --
+    exact in floating point) and ``psum`` over the mesh axes;
   * lift/drag reduces with ``psum`` (``Utilities::MPI::sum`` analog,
     NSSolver.cpp:933-934).
 
-Host-side arrays carry a leading tile axis ``[n_dev, ...]`` sharded over the
-mesh's ``'x'`` axis, so a single uniform ``PartitionSpec('x')`` prefix
-distributes every leaf.
+Host-side arrays carry a leading tile axis ``[n_y * n_x, ...]`` (y-major)
+sharded over the mesh's ``('y', 'x')`` axes, so a single uniform
+``PartitionSpec(('y', 'x'))`` prefix distributes every leaf.
 """
 
 from __future__ import annotations
@@ -46,7 +46,15 @@ __all__ = [
     "init_dist_state",
     "make_dist_time_step",
     "device_put_dist",
+    "make_dd_mesh",
 ]
+
+
+def make_dd_mesh(n_x: int, n_y: int = 1, devices=None) -> Mesh:
+    """Device mesh with ('y', 'x') axes for the 2-D tile decomposition."""
+    devices = list(devices if devices is not None else jax.devices())
+    arr = np.array(devices[: n_x * n_y]).reshape(n_y, n_x)
+    return Mesh(arr, ("y", "x"))
 
 
 def _tile_tree(tree: Any):
@@ -60,110 +68,167 @@ def _stack_tree(tree: Any):
     return jax.tree_util.tree_map(lambda a: a[None], tree)
 
 
-def decompose_disc(disc: Disc, n_dev: int, axis: str = "x") -> Disc:
-    """Split a global Disc into ``n_dev`` x-tiles, stacked on a leading axis.
-
-    Requires ``disc.nx % n_dev == 0`` (the reference likewise requires the
-    mesh to split across ranks).  The returned Disc has tile-local static
-    config (``nx = nx/n_dev``, ``halo_axis`` set) and every array leaf of
-    shape ``[n_dev, ...tile shape...]``.
-    """
-    if disc.nx % n_dev != 0:
+def _check_divisible(n: int, parts: int, what: str):
+    if n % parts != 0:
         raise ValueError(
-            f"nx = {disc.nx} not divisible by n_dev = {n_dev}; "
-            "choose a mesh size that splits across the device mesh"
+            f"{what} = {n} not divisible by {parts}; choose a mesh size "
+            "that splits across the device mesh"
         )
+
+
+def decompose_disc(
+    disc: Disc, n_dev: int, n_dev_y: int = 1, axis: str = "x", axis_y: str = "y"
+) -> Disc:
+    """Split a global Disc into ``n_dev_y x n_dev`` tiles, stacked on a
+    leading (y-major) axis.
+
+    The returned Disc has tile-local static config (``nx = nx/n_dev``,
+    ``ny = ny/n_dev_y``, halo axes set) and every array leaf of shape
+    ``[n_dev_y * n_dev, ...tile shape...]``.
+    """
+    _check_divisible(disc.nx, n_dev, "nx")
+    _check_divisible(disc.ny, n_dev_y, "ny")
     nxl = disc.nx // n_dev
+    nyl = disc.ny // n_dev_y
     kv, kp = disc.deg_v, disc.deg_p
 
-    def lat(a, k):
+    def tiles(a, ksli_y, ksli_x):
+        a = np.asarray(a)
+        out = []
+        for iy in range(n_dev_y):
+            for ix in range(n_dev):
+                sl = a
+                if ksli_y is not None:
+                    sl = sl[..., ksli_y(iy), :] if a.ndim >= 2 else sl
+                if ksli_x is not None:
+                    sl = sl[..., ksli_x(ix)]
+                out.append(sl)
+        return np.stack(out)
+
+    def lat_y(k):
+        return lambda iy: slice(k * iy * nyl, k * (iy + 1) * nyl + 1)
+
+    def lat_x(k):
+        return lambda ix: slice(k * ix * nxl, k * (ix + 1) * nxl + 1)
+
+    def cell_y(iy):
+        return slice(iy * nyl, (iy + 1) * nyl)
+
+    def cell_x(ix):
+        return slice(ix * nxl, (ix + 1) * nxl)
+
+    def prof(a, k):
+        # [NVy] -> per-tile y-slices, replicated across x tiles
         a = np.asarray(a)
         return np.stack(
-            [a[..., k * i * nxl : k * (i + 1) * nxl + 1] for i in range(n_dev)]
+            [
+                a[k * iy * nyl : k * (iy + 1) * nyl + 1]
+                for iy in range(n_dev_y)
+                for _ in range(n_dev)
+            ]
         )
-
-    def cell(a):
-        a = np.asarray(a)
-        return np.stack(
-            [a[..., i * nxl : (i + 1) * nxl] for i in range(n_dev)]
-        )
-
-    def rep(a):
-        a = np.asarray(a)
-        return np.stack([a] * n_dev)
 
     return disc.replace(
         nx=nxl,
+        ny=nyl,
         halo_axis=axis,
         halo_n=n_dev,
+        halo_axis_y=axis_y if n_dev_y > 1 else None,
+        halo_ny=n_dev_y,
         mg=None,  # multigrid chain is single-tile; tiles fall back to Jacobi
-        cell_mask=jnp.asarray(cell(disc.cell_mask)),
-        u_active=jnp.asarray(lat(disc.u_active, kv)),
-        p_active=jnp.asarray(lat(disc.p_active, kp)),
-        u_dirichlet=jnp.asarray(lat(disc.u_dirichlet, kv)),
-        u_inlet=jnp.asarray(lat(disc.u_inlet, kv)),
-        inlet_profile1=jnp.asarray(rep(disc.inlet_profile1)),
-        neumann_rhs1=jnp.asarray(lat(disc.neumann_rhs1, kv)),
-        cyl_face_mask=jnp.asarray(cell(disc.cyl_face_mask)),
+        cell_mask=jnp.asarray(tiles(disc.cell_mask, cell_y, cell_x)),
+        u_active=jnp.asarray(tiles(disc.u_active, lat_y(kv), lat_x(kv))),
+        p_active=jnp.asarray(tiles(disc.p_active, lat_y(kp), lat_x(kp))),
+        u_dirichlet=jnp.asarray(
+            tiles(disc.u_dirichlet, lat_y(kv), lat_x(kv))
+        ),
+        u_inlet=jnp.asarray(tiles(disc.u_inlet, lat_y(kv), lat_x(kv))),
+        inlet_profile1=jnp.asarray(prof(disc.inlet_profile1, kv)),
+        neumann_rhs1=jnp.asarray(
+            tiles(disc.neumann_rhs1, lat_y(kv), lat_x(kv))
+        ),
+        cyl_face_mask=jnp.asarray(tiles(disc.cyl_face_mask, cell_y, cell_x)),
     )
 
 
 def scatter_blocks(x: Blocks, sdisc: Disc) -> Blocks:
-    """Global (u, p) -> stacked tile slabs (seam columns duplicated)."""
-    n, nxl = sdisc.halo_n, sdisc.nx
+    """Global (u, p) -> stacked tile slabs (seams duplicated)."""
+    nx_t, ny_t = sdisc.halo_n, sdisc.halo_ny
+    nxl, nyl = sdisc.nx, sdisc.ny
     kv, kp = sdisc.deg_v, sdisc.deg_p
-    u = np.asarray(x.u)
-    p = np.asarray(x.p)
-    return Blocks(
-        u=jnp.asarray(
-            np.stack(
-                [u[..., kv * i * nxl : kv * (i + 1) * nxl + 1] for i in range(n)]
-            )
-        ),
-        p=jnp.asarray(
-            np.stack(
-                [p[..., kp * i * nxl : kp * (i + 1) * nxl + 1] for i in range(n)]
-            )
-        ),
-    )
+
+    def split(a, k):
+        a = np.asarray(a)
+        return np.stack(
+            [
+                a[
+                    ...,
+                    k * iy * nyl : k * (iy + 1) * nyl + 1,
+                    k * ix * nxl : k * (ix + 1) * nxl + 1,
+                ]
+                for iy in range(ny_t)
+                for ix in range(nx_t)
+            ]
+        )
+
+    return Blocks(u=jnp.asarray(split(x.u, kv)), p=jnp.asarray(split(x.p, kp)))
 
 
 def gather_blocks(xs: Blocks, sdisc: Disc) -> Blocks:
     """Stacked tile slabs -> global (u, p), dropping duplicate seams."""
-    n = sdisc.halo_n
-    u = np.asarray(xs.u)
-    p = np.asarray(xs.p)
-    parts_u = [u[0]] + [u[i][..., 1:] for i in range(1, n)]
-    parts_p = [p[0]] + [p[i][..., 1:] for i in range(1, n)]
-    return Blocks(
-        u=jnp.asarray(np.concatenate(parts_u, axis=-1)),
-        p=jnp.asarray(np.concatenate(parts_p, axis=-1)),
-    )
+    nx_t, ny_t = sdisc.halo_n, sdisc.halo_ny
+
+    def join(a):
+        a = np.asarray(a)
+        rows = []
+        for iy in range(ny_t):
+            cols = []
+            for ix in range(nx_t):
+                t = a[iy * nx_t + ix]
+                if ix > 0:
+                    t = t[..., 1:]
+                cols.append(t)
+            row = np.concatenate(cols, axis=-1)
+            if iy > 0:
+                row = row[..., 1:, :]
+            rows.append(row)
+        return np.concatenate(rows, axis=-2)
+
+    return Blocks(u=jnp.asarray(join(xs.u)), p=jnp.asarray(join(xs.p)))
 
 
 def init_dist_state(sdisc: Disc):
     """Stacked initial TimeState for a decomposed Disc."""
     tile = _tile_tree(sdisc)
     ts = initial_state(tile)
-    return jax.tree_util.tree_map(
-        lambda a: jnp.stack([a] * sdisc.halo_n), ts
-    )
+    n = sdisc.halo_n * sdisc.halo_ny
+    return jax.tree_util.tree_map(lambda a: jnp.stack([a] * n), ts)
 
 
-def device_put_dist(tree: Any, mesh: Mesh, axis: str = "x"):
-    """Shard every leaf's leading tile axis over the mesh axis."""
+def device_put_dist(tree: Any, mesh: Mesh, axis=None):
+    """Shard every leaf's leading tile axis over the mesh's tile axes."""
+    if axis is None:
+        axis = tuple(a for a in ("y", "x") if a in mesh.axis_names)
+        if len(axis) == 1:
+            axis = axis[0]
     s = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), tree)
 
 
-def make_dist_time_step(sdisc: Disc, mesh: Mesh, axis: str = "x", **kwargs):
+def make_dist_time_step(sdisc: Disc, mesh: Mesh, **kwargs):
     """Build a sharded ``step(ts_stacked, nu, dt) -> ts_stacked``.
 
     The entire fused implicit-Euler step (Newton + line search + Krylov +
     preconditioner + lift/drag) runs inside one ``shard_map`` region; all
-    communication is the seam ``ppermute`` pair per operator application
-    plus ``psum`` reductions.
+    communication is the seam ``ppermute`` exchanges per operator
+    application plus ``psum`` reductions.
     """
+    axes = tuple(
+        a
+        for a, n in ((sdisc.halo_axis_y, sdisc.halo_ny), (sdisc.halo_axis, sdisc.halo_n))
+        if a is not None and n > 1
+    )
+    spec = P(axes if len(axes) > 1 else axes[0])
 
     def local_step(disc_sh: Disc, ts_sh, nu, dt):
         tile = _tile_tree(disc_sh)
@@ -174,8 +239,8 @@ def make_dist_time_step(sdisc: Disc, mesh: Mesh, axis: str = "x", **kwargs):
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=P(axis),
+        in_specs=(spec, spec, P(), P()),
+        out_specs=spec,
         check_vma=False,
     )
 

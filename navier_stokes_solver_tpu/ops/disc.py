@@ -46,11 +46,13 @@ class Disc:
     cyl_face_mask: jax.Array  # [4, ny, nx] dtype; id-10 faces (lift/drag)
 
     # Domain decomposition (dist/halo.py): when ``halo_axis`` is set, this
-    # Disc describes ONE tile of a 1-D x-decomposition running inside
-    # ``shard_map``; lattice scatters exchange seam-column partial sums with
-    # neighbors over the named mesh axis and reductions ``psum`` over it.
+    # Disc describes ONE tile of a 1-D/2-D decomposition running inside
+    # ``shard_map``; lattice scatters exchange seam partial sums with
+    # neighbors over the named mesh axes and reductions ``psum`` over them.
     halo_axis: str | None = struct.field(pytree_node=False, default=None)
     halo_n: int = struct.field(pytree_node=False, default=1)
+    halo_axis_y: str | None = struct.field(pytree_node=False, default=None)
+    halo_ny: int = struct.field(pytree_node=False, default=1)
 
     # Geometric-multigrid chain (precond/mg.py): link to the next-coarser
     # rediscretized level plus velocity-lattice transfer operators.  ``None``

@@ -107,32 +107,35 @@ def _scatter(loc: jax.Array, k: int, ny: int, nx: int) -> jax.Array:
     return out
 
 
-def _seam_sum(disc: Disc, y: jax.Array) -> jax.Array:
-    """Sum seam-column partial scatters with the x-neighbors' copies.
-
-    Under the 1-D domain decomposition each tile duplicates its boundary
-    lattice columns with its neighbors; cell-local scatter produces only the
-    partial sum from locally-owned cells.  Two ``ppermute`` ring exchanges
-    over ICI (the analog of Trilinos ``compress(add)`` ghost exchange,
-    NSSolver.cpp:560-562) complete the sum and leave both copies consistent.
-    """
-    if disc.halo_axis is None or disc.halo_n == 1:
-        return y
-    n = disc.halo_n
-    left_edge = y[..., :1]
-    right_edge = y[..., -1:]
+def _axis_seam_sum(y: jax.Array, axis_name: str, n: int, dim: int) -> jax.Array:
+    """Ring-exchange and add the first/last slice of ``dim`` with the
+    neighbors along ``axis_name`` (non-periodic)."""
+    lo = jax.lax.slice_in_dim(y, 0, 1, axis=dim)
+    hi = jax.lax.slice_in_dim(y, y.shape[dim] - 1, y.shape[dim], axis=dim)
     perm_r = [(i, i + 1) for i in range(n - 1)]
     perm_l = [(i + 1, i) for i in range(n - 1)]
-    from_left = jax.lax.ppermute(right_edge, disc.halo_axis, perm_r)
-    from_right = jax.lax.ppermute(left_edge, disc.halo_axis, perm_l)
-    return jnp.concatenate(
-        [
-            y[..., :1] + from_left,
-            y[..., 1:-1],
-            y[..., -1:] + from_right,
-        ],
-        axis=-1,
-    )
+    from_left = jax.lax.ppermute(hi, axis_name, perm_r)
+    from_right = jax.lax.ppermute(lo, axis_name, perm_l)
+    mid = jax.lax.slice_in_dim(y, 1, y.shape[dim] - 1, axis=dim)
+    return jnp.concatenate([lo + from_left, mid, hi + from_right], axis=dim)
+
+
+def _seam_sum(disc: Disc, y: jax.Array) -> jax.Array:
+    """Sum seam partial scatters with the neighbors' copies.
+
+    Under the 1-D/2-D domain decomposition each tile duplicates its boundary
+    lattice columns/rows with its neighbors; cell-local scatter produces only
+    the partial sum from locally-owned cells.  ``ppermute`` ring exchanges
+    over ICI (the analog of Trilinos ``compress(add)`` ghost exchange,
+    NSSolver.cpp:560-562) complete the sum and leave all copies consistent.
+    The x-exchange runs first, so the subsequent y-exchange carries
+    x-complete rows and corner nodes (shared by four tiles) come out right.
+    """
+    if disc.halo_axis is not None and disc.halo_n > 1:
+        y = _axis_seam_sum(y, disc.halo_axis, disc.halo_n, y.ndim - 1)
+    if disc.halo_axis_y is not None and disc.halo_ny > 1:
+        y = _axis_seam_sum(y, disc.halo_axis_y, disc.halo_ny, y.ndim - 2)
+    return y
 
 
 def _gather_v(disc: Disc, u: jax.Array) -> jax.Array:
@@ -151,13 +154,13 @@ def _scatter_p(disc: Disc, loc: jax.Array) -> jax.Array:
     return _seam_sum(disc, _scatter(loc, disc.deg_p, disc.ny, disc.nx))
 
 
-def _seam_weight(disc: Disc, width: int) -> jax.Array:
+def _seam_weight(disc: Disc, width: int, axis_name: str, n: int) -> jax.Array:
     """Per-column inner-product weight: duplicated seam columns count 1/2 on
     each of the two tiles sharing them (exact in floating point)."""
-    idx = jax.lax.axis_index(disc.halo_axis)
+    idx = jax.lax.axis_index(axis_name)
     w = jnp.ones((width,), disc.dtype)
     w = w.at[0].set(jnp.where(idx == 0, 1.0, 0.5))
-    w = w.at[-1].set(jnp.where(idx == disc.halo_n - 1, 1.0, 0.5))
+    w = w.at[-1].set(jnp.where(idx == n - 1, 1.0, 0.5))
     return w
 
 
@@ -165,22 +168,46 @@ def make_dot(disc: Disc):
     """Inner product over (possibly tile-local) lattice pytrees.
 
     Single tile: plain ``vdot``.  Distributed: seam-weighted local sum +
-    ``psum`` over the mesh axis (the analog of Trilinos dot-product
-    allreduces inside Krylov, SURVEY.md section 5)."""
-    if disc.halo_axis is None or disc.halo_n == 1:
+    ``psum`` over the mesh axes (the analog of Trilinos dot-product
+    allreduces inside Krylov, SURVEY.md section 5).  In 2-D the weights are
+    the tensor product of the per-axis seam weights (corner copies weigh
+    1/4, exactly)."""
+    has_x = disc.halo_axis is not None and disc.halo_n > 1
+    has_y = disc.halo_axis_y is not None and disc.halo_ny > 1
+    if not (has_x or has_y):
         from navier_stokes_solver_tpu.krylov.solvers import tvdot
 
         return tvdot
 
-    wv = _seam_weight(disc, disc.deg_v * disc.nx + 1)
-    wp = _seam_weight(disc, disc.deg_p * disc.nx + 1)
+    def axis_w(k):
+        wx = (
+            _seam_weight(disc, k * disc.nx + 1, disc.halo_axis, disc.halo_n)
+            if has_x
+            else jnp.ones((k * disc.nx + 1,), disc.dtype)
+        )
+        wy = (
+            _seam_weight(
+                disc, k * disc.ny + 1, disc.halo_axis_y, disc.halo_ny
+            )
+            if has_y
+            else jnp.ones((k * disc.ny + 1,), disc.dtype)
+        )
+        return wy[:, None] * wx[None, :]
+
+    wv = axis_w(disc.deg_v)
+    wp = axis_w(disc.deg_p)
+    axes = tuple(
+        a for a in (disc.halo_axis if has_x else None,
+                    disc.halo_axis_y if has_y else None)
+        if a is not None
+    )
 
     def dot(x, y):
         s = jnp.zeros((), disc.dtype)
         for a, b in zip(jax.tree_util.tree_leaves(x), jax.tree_util.tree_leaves(y)):
-            w = wv if a.shape[-1] == wv.shape[0] else wp
+            w = wv if a.shape[-1] == wv.shape[-1] else wp
             s = s + jnp.sum(a * b * w)
-        return jax.lax.psum(s, disc.halo_axis)
+        return jax.lax.psum(s, axes)
 
     return dot
 
@@ -544,7 +571,15 @@ def lift_drag_forces(disc: Disc, nu, st: Blocks) -> tuple[jax.Array, jax.Array]:
         force = -jnp.einsum("qcdyx,d,q->cyx", sig, n, wf)
         drag = drag + jnp.sum(force[0] * mask)
         lift = lift + jnp.sum(force[1] * mask)
-    if disc.halo_axis is not None and disc.halo_n > 1:
-        drag = jax.lax.psum(drag, disc.halo_axis)
-        lift = jax.lax.psum(lift, disc.halo_axis)
+    axes = tuple(
+        a
+        for a, n in (
+            (disc.halo_axis, disc.halo_n),
+            (disc.halo_axis_y, disc.halo_ny),
+        )
+        if a is not None and n > 1
+    )
+    if axes:
+        drag = jax.lax.psum(drag, axes)
+        lift = jax.lax.psum(lift, axes)
     return drag, lift

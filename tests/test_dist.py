@@ -110,3 +110,26 @@ def test_seam_weighted_dot_matches_global():
         check_vma=False,
     )(sdisc, xs)
     np.testing.assert_allclose(float(got), expected, rtol=1e-12)
+
+
+def test_dist_2d_step_matches_single_chip():
+    disc = _disc(32, 12)
+    kw = dict(solver_type=1, prec_type=2, tol=1e-10, newton_max=3, krylov_maxiter=300)
+    from navier_stokes_solver_tpu.dist import make_dd_mesh
+
+    step = make_time_step(disc, **kw)
+    ts = jax.jit(step)(initial_state(disc), 0.01, 0.01)
+
+    mesh = make_dd_mesh(4, 2)
+    sdisc = device_put_dist(decompose_disc(disc, 4, 2), mesh)
+    dstep = make_dist_time_step(sdisc, mesh, **kw)
+    tsd = jax.jit(dstep)(device_put_dist(init_dist_state(sdisc), mesh), 0.01, 0.01)
+
+    sol = gather_blocks(tsd.solution, sdisc)
+    np.testing.assert_allclose(
+        np.asarray(sol.u), np.asarray(ts.solution.u), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.p), np.asarray(ts.solution.p), atol=1e-6
+    )
+    np.testing.assert_allclose(float(tsd.drag[0]), float(ts.drag), atol=1e-7)
