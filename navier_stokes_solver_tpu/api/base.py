@@ -172,6 +172,13 @@ class NSSolverBase:
             rn = float(rn)
         return rn
 
+    # Krylov iterations executed per device call.  One XLA program running
+    # for many minutes gets killed by the TPU runtime; chunking bounds the
+    # per-call device time while restarted-GMRES semantics make the chunks
+    # mathematically identical to one long solve (chunk = a multiple of the
+    # restart basis 30).  Host overhead is one dispatch per chunk (~ms).
+    KRYLOV_CHUNK: int = 120
+
     def solve_system(self, stokes: bool, lifting: bool) -> int:
         """Tangent solve; prints and returns the Krylov iteration count
         (NSSolver.cpp:601-672)."""
@@ -179,25 +186,34 @@ class NSSolverBase:
         self.log(f"Solver tolerance: {o.tolerance}")
         timer_ctx = self.timer.phase("krylov_solve")
         timer_ctx.__enter__()
-        self.delta, info = kernels.solve_kernel(
-            self.disc,
-            self.nu,
-            self.inv_dt,
-            self.solution,
-            self.rhs,
-            self.delta,
-            self._inlet_amp(lifting),
-            o.tolerance,
-            stokes=stokes,
-            solver_type=o.solver_type,
-            prec_type=o.preconditioner_type,
-            variant=self.VARIANT,
-            maxiter=self.KRYLOV_MAXITER,
-        )
-        iters = int(info.iters)  # blocks until the solve finishes
+        total = 0
+        first = True
+        while True:
+            chunk = min(self.KRYLOV_CHUNK, self.KRYLOV_MAXITER - total)
+            self.delta, info = kernels.solve_kernel(
+                self.disc,
+                self.nu,
+                self.inv_dt,
+                self.solution,
+                self.rhs,
+                self.delta,
+                self._inlet_amp(lifting),
+                o.tolerance,
+                stokes=stokes,
+                solver_type=o.solver_type,
+                prec_type=o.preconditioner_type,
+                variant=self.VARIANT,
+                maxiter=chunk,
+                project_x0=first,
+            )
+            first = False
+            it = int(info.iters)  # blocks until this chunk finishes
+            total += it
+            if bool(info.converged) or it < chunk or total >= self.KRYLOV_MAXITER:
+                break
         timer_ctx.__exit__(None, None, None)
-        self.log(f"   {iters} iterations")
-        return iters
+        self.log(f"   {total} iterations")
+        return total
 
     # ------------------------------------------------------------------
     # Lift / drag (NSSolver.cpp:839-974)

@@ -54,7 +54,10 @@ def assemble_kernel(disc, nu, inv_dt, st: Blocks, u_old, inlet_amp, *, stokes):
 
 @partial(
     jax.jit,
-    static_argnames=("stokes", "solver_type", "prec_type", "variant", "maxiter"),
+    static_argnames=(
+        "stokes", "solver_type", "prec_type", "variant", "maxiter",
+        "project_x0",
+    ),
 )
 def solve_kernel(
     disc,
@@ -71,13 +74,16 @@ def solve_kernel(
     prec_type: int,
     variant: str,
     maxiter: int,
+    project_x0: bool = True,
 ):
     """One tangent solve (NSSolver::solve_system, NSSolver.cpp:601-672).
 
     The Krylov initial guess mirrors deal.II's ``apply_boundary_values``
     side effect: constrained entries of the persistent ``delta_owned`` are
     set to the boundary values, interior entries warm-start from the
-    previous solve.
+    previous solve.  ``project_x0=False`` skips that projection -- used by
+    continuation chunks of one logical solve, whose iterate must pass
+    through untouched.
     """
     ops = _ops_for(disc)
     linq = None if stokes else ops.eval_state(disc, st)
@@ -91,15 +97,18 @@ def solve_kernel(
     def A(x: Blocks) -> Blocks:
         return ops.apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
 
-    g = ops.dirichlet_values(disc, inlet_amp)
-    x0u = jnp.where(disc.u_dirichlet, g, delta_prev.u)
-    u_active = getattr(disc, "u_active", None)
-    if u_active is not None:
-        x0u = jnp.where(u_active, x0u, 0.0)
-        x0p = jnp.where(disc.p_active, delta_prev.p, 0.0)
+    if project_x0:
+        g = ops.dirichlet_values(disc, inlet_amp)
+        x0u = jnp.where(disc.u_dirichlet, g, delta_prev.u)
+        u_active = getattr(disc, "u_active", None)
+        if u_active is not None:
+            x0u = jnp.where(u_active, x0u, 0.0)
+            x0p = jnp.where(disc.p_active, delta_prev.p, 0.0)
+        else:
+            x0p = delta_prev.p
+        x0 = Blocks(u=x0u, p=x0p)
     else:
-        x0p = delta_prev.p
-    x0 = Blocks(u=x0u, p=x0p)
+        x0 = delta_prev
 
     delta, info = _SOLVERS[solver_type](A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
     return delta, info

@@ -66,6 +66,7 @@ class PrecondConfig:
     inner_mode: str = "auto"
     fixed_f_cycles: int = 2
     fixed_mp_degree: int = 6
+    mg_smooth_degree: int = 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +143,7 @@ class LinearContext:
             return make_mg_vcycle(
                 self.disc, self.nu, self.inv_dt, self.state_u,
                 stokes=self.stokes,
+                smooth_degree=getattr(cfg, "mg_smooth_degree", 3),
                 dtype=_jnp.dtype(mg_dtype) if mg_dtype else None,
             )
         return self.jacobi_F()

@@ -74,6 +74,18 @@ class SimplexDisc:
         return None
 
     @property
+    def halo_axis_y(self):
+        return None
+
+    @property
+    def halo_n(self):
+        return 1
+
+    @property
+    def halo_ny(self):
+        return 1
+
+    @property
     def mg(self):
         return None
 
