@@ -61,8 +61,10 @@ class PrecondConfig:
     #   "fixed":  a fixed number of MG V-cycles (velocity) and Chebyshev
     #             sweeps (pressure mass) -- no nested iteration, much
     #             smaller XLA programs, linear preconditioner;
-    #   "auto":   "fixed" when a multigrid hierarchy is attached, else
-    #             "krylov".
+    #   "auto":   currently "krylov" (the nested solves converge where a
+    #             2-cycle fixed sweep stagnates at scale; outer chunking
+    #             bounds per-call device time, so the nested programs are
+    #             safe on the TPU runtime).
     inner_mode: str = "auto"
     fixed_f_cycles: int = 2
     fixed_mp_degree: int = 6
@@ -163,7 +165,7 @@ def _zeros_p(ctx: LinearContext):
 
 def _resolve_inner_mode(ctx: LinearContext, cfg: PrecondConfig) -> str:
     if cfg.inner_mode == "auto":
-        return "fixed" if ctx.disc.mg is not None else "krylov"
+        return "krylov"
     return cfg.inner_mode
 
 

@@ -20,7 +20,7 @@ from navier_stokes_solver_tpu.api import (
 # Q3/Q2 structured, 40x16, target Re = 30, FGMRES + blockTriangular,
 # tol 1e-8 (converged drag at tol 1e-10 is 6.356664346823294; the looser
 # solve keeps CPU test time sane and still trips on any semantic change)
-GOLDEN_STATIONARY_DRAG_COEFF = 6.356620538065943
+GOLDEN_STATIONARY_DRAG_COEFF = 6.356641157056602
 # lift is ~0: the reference centers the cylinder at (0.2, (y0+y1)/2), which
 # makes the voxelized geometry symmetric (NSSolver.cpp:13-27)
 GOLDEN_STATIONARY_LIFT_BOUND = 1e-6
