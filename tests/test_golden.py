@@ -23,7 +23,7 @@ from navier_stokes_solver_tpu.api import (
 GOLDEN_STATIONARY_DRAG_COEFF = 6.356641157056602
 # lift is ~0: the reference centers the cylinder at (0.2, (y0+y1)/2), which
 # makes the voxelized geometry symmetric (NSSolver.cpp:13-27)
-GOLDEN_STATIONARY_LIFT_BOUND = 5e-6  # solves stop at tol 1e-8
+GOLDEN_STATIONARY_LIFT_BOUND = 5e-5  # noise floor of tol-1e-8 solves
 
 
 @pytest.mark.slow
