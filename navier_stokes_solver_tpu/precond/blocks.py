@@ -43,9 +43,11 @@ class PrecondConfig:
     # the unsteady aSIMPLE (NSSolver.hpp:338): a loose matrix-free CG solve.
     asimple_s_rel_tol: float = 1e-1
     asimple_s_maxiter: int = 200
-    # Iteration caps for inner solves (the reference uses 1e5..2e6; those are
-    # effectively "unbounded" -- we bound them to keep worst cases finite).
-    inner_maxiter: int = 2000
+    # Iteration caps for inner solves (the reference uses 1e5..2e6; those
+    # are effectively "unbounded" -- we bound them so one preconditioner
+    # application cannot blow the TPU runtime's per-call execution budget;
+    # with the MG smoother the inner solves converge in well under 100).
+    inner_maxiter: int = 300
     # Compute precision of the multigrid V-cycle (None = operator dtype).
     # f32 halves HBM traffic and avoids emulated-f64 compute on TPU; the
     # preconditioner only steers the full-precision outer Krylov iteration.

@@ -126,14 +126,22 @@ def _zero_constrained(disc: Disc, x):
     return jnp.where(_interior_mask(disc), x, 0.0)
 
 
-def _estimate_lmax(A, dinv, shape, dtype, iters: int = 8):
-    """Power iteration for the spectral radius of ``D^-1 A`` (matrix-free,
+def _as_prec(dinv_or_fn):
+    """Accept either a diagonal-inverse array or a callable ``r -> d``."""
+    if callable(dinv_or_fn):
+        return dinv_or_fn
+    return lambda r: dinv_or_fn * r
+
+
+def _estimate_lmax(A, prec, shape, dtype, iters: int = 8):
+    """Power iteration for the spectral radius of ``M^-1 A`` (matrix-free,
     on device; the analog of Ifpack's eigenvalue estimate for Chebyshev)."""
+    P = _as_prec(prec)
     v = jax.random.normal(jax.random.PRNGKey(7), shape, dtype)
 
     def body(_, carry):
         v, lam = carry
-        w = dinv * A(v)
+        w = P(A(v))
         lam = jnp.sqrt(jnp.vdot(w, w).real)
         return w / jnp.maximum(lam, 1e-30), lam
 
@@ -141,12 +149,14 @@ def _estimate_lmax(A, dinv, shape, dtype, iters: int = 8):
     return lam
 
 
-def _chebyshev(A, dinv, lmax, b, x, degree: int, lmin_ratio: float = 4.0):
-    """``degree`` steps of Chebyshev-accelerated Jacobi on
-    [lmax/lmin_ratio, 1.1 lmax].  ``lmin_ratio = 4`` is the classic
-    smoothing window (only the high end must be damped); larger ratios
-    approximate a solver over the full spectrum of well-conditioned
-    operators (e.g. the pressure mass matrix)."""
+def _chebyshev(A, prec, lmax, b, x, degree: int, lmin_ratio: float = 4.0):
+    """``degree`` steps of Chebyshev-accelerated preconditioned smoothing on
+    [lmax/lmin_ratio, 1.1 lmax].  ``prec`` is a diagonal-inverse array
+    (Jacobi) or a callable (e.g. cell-block Schwarz).  ``lmin_ratio = 4``
+    is the classic smoothing window (only the high end must be damped);
+    larger ratios approximate a solver over the full spectrum of
+    well-conditioned operators (e.g. the pressure mass matrix)."""
+    P = _as_prec(prec)
     lmin = lmax / lmin_ratio
     lmax = 1.1 * lmax
     theta = 0.5 * (lmax + lmin)
@@ -154,12 +164,12 @@ def _chebyshev(A, dinv, lmax, b, x, degree: int, lmin_ratio: float = 4.0):
     sigma = theta / delta
     rho = 1.0 / sigma
     r = b - A(x)
-    d = dinv * r / theta
+    d = P(r) / theta
     for _ in range(degree):
         x = x + d
         r = b - A(x)
         rho_new = 1.0 / (2.0 * sigma - rho)
-        d = rho_new * rho * d + (2.0 * rho_new / delta) * (dinv * r)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * P(r)
         rho = rho_new
     return x
 
@@ -175,6 +185,7 @@ def make_mg_vcycle(
     coarse_iters: int = 48,
     coarse_rtol: float = 5e-2,
     dtype=None,
+    smoother: str = "jacobi",
 ):
     """Build ``M(b) -> x`` : one V(smooth_degree, smooth_degree) cycle for the
     velocity block F at the current linearization.
@@ -187,6 +198,9 @@ def make_mg_vcycle(
     steers the (full-precision) outer Krylov iteration, so f32 is safe and
     avoids the TPU's emulated-f64 cost; the result is cast back to the
     input dtype.
+
+    ``smoother``: "schwarz" (cell-block additive Schwarz -- strong for
+    high-order elements, the ILU-strength analog) or "jacobi" (pointwise).
     """
     out_dtype = disc.dtype
     if dtype is not None and dtype != disc.dtype:
@@ -218,13 +232,22 @@ def make_mg_vcycle(
         def A(x, _d=dloc, _l=linq_loc, _dg=diag_loc):
             return apply_F(_d, nu, inv_dt, _l, x, stokes=stokes, bc_diag=_dg)
 
-        dinv = 1.0 / diag
+        if smoother == "schwarz":
+            from navier_stokes_solver_tpu.precond.schwarz import (
+                make_schwarz_smoother,
+            )
+
+            prec = make_schwarz_smoother(
+                d, nu, inv_dt, linq, diag, stokes=stokes
+            )
+        else:
+            prec = 1.0 / diag
         if lmax is None:
             # Jacobi-normalized FEM spectra are essentially mesh-size
             # independent: estimate once on the finest level, reuse below
             # (with headroom from the 1.1x window in _chebyshev).
-            lmax = _estimate_lmax(A, dinv, (2,) + d.NV, d.dtype)
-        levels.append((d, A, dinv, lmax, d.mg))
+            lmax = _estimate_lmax(A, prec, (2,) + d.NV, d.dtype)
+        levels.append((d, A, prec, lmax, d.mg))
         if d.mg is None:
             break
         edge = d.mg
@@ -239,7 +262,7 @@ def make_mg_vcycle(
         return jnp.einsum("Yy,cyx,Xx->cYX", edge.Pvy, x, edge.Pvx)
 
     def vcycle(li: int, b):
-        d, A, dinv, lmax, edge = levels[li]
+        d, A, prec, lmax, edge = levels[li]
         if li == len(levels) - 1:
             x, _ = cg(
                 A,
@@ -247,15 +270,15 @@ def make_mg_vcycle(
                 jnp.zeros_like(b),
                 tol=coarse_rtol * jnp.sqrt(jnp.vdot(b, b).real),
                 maxiter=coarse_iters,
-                M=lambda r: dinv * r,
+                M=_as_prec(prec),
             )
             return x
-        x = _chebyshev(A, dinv, lmax, b, jnp.zeros_like(b), smooth_degree)
+        x = _chebyshev(A, prec, lmax, b, jnp.zeros_like(b), smooth_degree)
         r = _zero_constrained(d, b - A(x))
         bc = _zero_constrained(edge.coarse, restrict(edge, r))
         xc = vcycle(li + 1, bc)
         x = x + _zero_constrained(d, prolong(edge, xc))
-        return _chebyshev(A, dinv, lmax, b, x, smooth_degree)
+        return _chebyshev(A, prec, lmax, b, x, smooth_degree)
 
     def M(b):
         x = vcycle(0, b.astype(disc.dtype))
