@@ -71,6 +71,10 @@ class PrecondConfig:
     fixed_f_cycles: int = 2
     fixed_mp_degree: int = 6
     mg_smooth_degree: int = 3
+    # V-cycle smoother: "jacobi" (Chebyshev-Jacobi) or "schwarz"
+    # (cell-block additive Schwarz -- stronger on high-order elements,
+    # costlier per sweep)
+    mg_smoother: str = "jacobi"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,6 +152,7 @@ class LinearContext:
                 self.disc, self.nu, self.inv_dt, self.state_u,
                 stokes=self.stokes,
                 smooth_degree=getattr(cfg, "mg_smooth_degree", 3),
+                smoother=getattr(cfg, "mg_smoother", "jacobi"),
                 dtype=_jnp.dtype(mg_dtype) if mg_dtype else None,
             )
         return self.jacobi_F()

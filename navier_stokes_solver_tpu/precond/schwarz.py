@@ -125,6 +125,19 @@ def make_schwarz_smoother(
     t = disc.tables
     n_v = t.n_v
     A = _cell_matrices(disc, nu, inv_dt, linq, stokes=stokes)
+    # One cell's own contribution to a shared node's diagonal misses the
+    # neighbor cells' parts, leaving interior local blocks singular (the
+    # per-cell pure-Neumann stiffness annihilates constants).  Substitute
+    # the globally assembled diagonal, which carries every contribution:
+    # the local solve then sees the correct diagonal and this cell's
+    # off-diagonal couplings.
+    gd_loc = _gather_v(disc, global_diag * jnp.ones((2,) + disc.NV, disc.dtype))
+    gd = jnp.transpose(gd_loc, (2, 3, 1, 0)).reshape(
+        disc.ny, disc.nx, 2 * n_v
+    )
+    eye = jnp.eye(2 * n_v, dtype=disc.dtype)
+    off = A * (1.0 - eye)[None, None]
+    A = off + jnp.einsum("yxi,ij->yxij", gd, eye)
     A_inv = jnp.linalg.inv(A)  # batched [ny, nx, 2 n_v, 2 n_v]
 
     # node multiplicity (how many cells share each lattice node)
