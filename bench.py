@@ -68,19 +68,25 @@ def main():
     solver.compute_lift_coeff()
 
     total_krylov = sum(h["krylov_iters"] for h in solver.history)
+    n_dofs = solver.space.n_dofs
     result = {
         "metric": "stationary_solve_wallclock_100x70_Q3Q2_FGMRES_blockTriangular_tol1e-12_Re100",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_4PROC_SECONDS / elapsed, 3),
         "extra": {
-            "n_dofs": solver.space.n_dofs,
+            "n_dofs": n_dofs,
             "total_krylov_iters": total_krylov,
             "newton_solves": len(solver.history),
+            "dof_krylov_throughput_per_s": round(
+                n_dofs * total_krylov / max(elapsed, 1e-9), 1
+            ),
             "drag_coeff": solver.drag_coeff,
             "lift_coeff": solver.lift_coeff,
+            "phase_timings": solver.timer.summary(),
             "device": str(jax.devices()[0]),
             "dtype": str(solver.disc.dtype),
+            "vs_baseline_1proc": round(5294.75 / elapsed, 3),  # FGMRES 1-proc
         },
     }
     print(json.dumps(result))
