@@ -6,7 +6,6 @@ import dataclasses
 import time as _time
 from typing import Any
 
-import jax.numpy as jnp
 import numpy as np
 
 from navier_stokes_solver_tpu.api import kernels

@@ -25,7 +25,6 @@ from navier_stokes_solver_tpu.elements import TaylorHoodTables, make_taylor_hood
 from navier_stokes_solver_tpu.geometry.channel import (
     BOUNDARY_CYLINDER,
     BOUNDARY_INLET,
-    BOUNDARY_OUTLET,
     BOUNDARY_WALL,
     ChannelGeometry,
 )

@@ -21,7 +21,6 @@ fixed-shape: Krylov bases are stacked leading-dimension pytrees updated with
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from typing import Any
 
-from navier_stokes_solver_tpu.krylov import bicgstab, cg, fgmres
+from navier_stokes_solver_tpu.krylov import cg, fgmres
 from navier_stokes_solver_tpu.ops import matfree
 from navier_stokes_solver_tpu.ops.matfree import make_dot
 from navier_stokes_solver_tpu.ops import Blocks, LinearizationQ
