@@ -176,7 +176,7 @@ class NSSolverBase:
     # per-call device time while restarted-GMRES semantics make the chunks
     # mathematically identical to one long solve (chunk = a multiple of the
     # restart basis 30).  Host overhead is one dispatch per chunk (~ms).
-    KRYLOV_CHUNK: int = 60
+    KRYLOV_CHUNK: int = 30
 
     def solve_system(self, stokes: bool, lifting: bool) -> int:
         """Tangent solve; prints and returns the Krylov iteration count

@@ -47,7 +47,7 @@ class PrecondConfig:
     # are effectively "unbounded" -- we bound them so one preconditioner
     # application cannot blow the TPU runtime's per-call execution budget;
     # with the MG smoother the inner solves converge in well under 100).
-    inner_maxiter: int = 300
+    inner_maxiter: int = 100
     # Compute precision of the multigrid V-cycle (None = operator dtype).
     # f32 halves HBM traffic and avoids emulated-f64 compute on TPU; the
     # preconditioner only steers the full-precision outer Krylov iteration.
