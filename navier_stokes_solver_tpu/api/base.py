@@ -42,6 +42,9 @@ class SolverOptions:
     profile_dir: str = ""  # capture a jax.profiler trace of solves here
     fused: bool = False  # unsteady: fully on-device lax.scan time loop
     write_mesh: bool = False  # write mesh.msh at setup (NSSolver.cpp:108)
+    # Optional body force f(x, y) -> (fx, fy) (the reference's ForcingTerm
+    # placeholder, NSSolver.hpp:93-122; zero when None)
+    forcing: Any = None
 
 
 class NSSolverBase:
@@ -114,7 +117,7 @@ class NSSolverBase:
             self.space = make_fe_space(
                 self.geo, o.degree_velocity, o.degree_pressure
             )
-            self.disc = make_disc(self.space, o.dtype)
+            self.disc = make_disc(self.space, o.dtype, forcing=o.forcing)
             if o.multigrid:
                 from navier_stokes_solver_tpu.precond.mg import attach_mg
 

@@ -147,6 +147,11 @@ def decompose_disc(
         neumann_rhs1=jnp.asarray(
             tiles(disc.neumann_rhs1, lat_y(kv), lat_x(kv))
         ),
+        forcing_rhs=(
+            None
+            if disc.forcing_rhs is None
+            else jnp.asarray(tiles(disc.forcing_rhs, lat_y(kv), lat_x(kv)))
+        ),
         cyl_face_mask=jnp.asarray(tiles(disc.cyl_face_mask, cell_y, cell_x)),
     )
 

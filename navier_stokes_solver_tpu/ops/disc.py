@@ -44,6 +44,11 @@ class Disc:
     inlet_profile1: jax.Array  # [NVy] parabolic profile at u_max = 1
     neumann_rhs1: jax.Array  # [2, NVy, NVx] outlet Neumann rhs at p_out = 1
     cyl_face_mask: jax.Array  # [4, ny, nx] dtype; id-10 faces (lift/drag)
+    # Forcing term projected onto velocity test functions ([2, NVy, NVx]),
+    # or None.  The reference's ForcingTerm is a zero placeholder
+    # (NSSolver.hpp:93-122, sinusoidal variant commented out); here a
+    # callable f(x, y) -> (fx, fy) can be supplied at make_disc time.
+    forcing_rhs: jax.Array | None = None
 
     # Domain decomposition (dist/halo.py): when ``halo_axis`` is set, this
     # Disc describes ONE tile of a 1-D/2-D decomposition running inside
@@ -143,8 +148,39 @@ def _neumann_rhs_unit(space: FESpace) -> np.ndarray:
     return out
 
 
-def make_disc(space: FESpace, dtype=None) -> Disc:
-    """Lower a host FESpace to device-side discretization data."""
+def _forcing_rhs(space: FESpace, forcing) -> np.ndarray:
+    """(f, v) projected onto the velocity test functions, host-side."""
+    t = space.tables
+    geo = space.geo
+    k = t.deg_v
+    out = np.zeros((2, space.NVy, space.NVx))
+    w = t.w_q * geo.hx * geo.hy
+    cx, cy = geo.cell_centers()
+    x0s = cx - 0.5 * geo.hx
+    y0s = cy - 0.5 * geo.hy
+    qx = np.tile(t.q1d, t.n_q1d)
+    qy = np.repeat(t.q1d, t.n_q1d)
+    iy, ix = np.nonzero(geo.cell_active)
+    # physical quadrature points per active cell
+    X = x0s[ix][:, None] + qx[None, :] * geo.hx  # [n_cells, n_q]
+    Y = y0s[iy][:, None] + qy[None, :] * geo.hy
+    fx, fy = forcing(X, Y)  # broadcastable arrays [n_cells, n_q]
+    loc_x = np.einsum("q,qm,cq->cm", w, t.phi_v, np.broadcast_to(fx, X.shape))
+    loc_y = np.einsum("q,qm,cq->cm", w, t.phi_v, np.broadcast_to(fy, X.shape))
+    n1 = k + 1
+    for m in range(n1 * n1):
+        a, b = divmod(m, n1)
+        np.add.at(out[0], (k * iy + a, k * ix + b), loc_x[:, m])
+        np.add.at(out[1], (k * iy + a, k * ix + b), loc_y[:, m])
+    return out
+
+
+def make_disc(space: FESpace, dtype=None, forcing=None) -> Disc:
+    """Lower a host FESpace to device-side discretization data.
+
+    ``forcing``: optional callable ``f(x, y) -> (fx, fy)`` (vectorized over
+    arrays); its weak-form projection is added to every velocity rhs.
+    """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     geo = space.geo
@@ -166,5 +202,10 @@ def make_disc(space: FESpace, dtype=None) -> Disc:
         neumann_rhs1=jnp.asarray(_neumann_rhs_unit(space), dtype=dtype),
         cyl_face_mask=jnp.asarray(
             geo.face_id == BOUNDARY_CYLINDER, dtype=dtype
+        ),
+        forcing_rhs=(
+            None
+            if forcing is None
+            else jnp.asarray(_forcing_rhs(space, forcing), dtype=dtype)
         ),
     )

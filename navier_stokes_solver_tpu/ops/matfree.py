@@ -444,6 +444,8 @@ def residual(
     if stokes:
         ru = p_out * disc.neumann_rhs1
         rp = jnp.zeros(disc.NP, disc.dtype)
+        if disc.forcing_rhs is not None:
+            ru = ru + disc.forcing_rhs
     else:
         linq = eval_state(disc, st)
         u_old_q, _ = _eval_v(disc, u_old)
@@ -452,6 +454,8 @@ def residual(
         eye = jnp.eye(2, dtype=disc.dtype)
         f_grad = -nu * linq.gradu + linq.p[:, None, None] * eye[None, :, :, None, None]
         ru = _project_v(disc, f_val, f_grad) + p_out * disc.neumann_rhs1
+        if disc.forcing_rhs is not None:
+            ru = ru + disc.forcing_rhs
         div = linq.gradu[:, 0, 0] + linq.gradu[:, 1, 1]
         rp = _project_p(disc, div)
 

@@ -159,3 +159,37 @@ def test_inactive_lanes_are_identity():
         np.asarray(y.u)[:, ~sp.u_active], xu[:, ~sp.u_active]
     )
     np.testing.assert_allclose(np.asarray(y.p)[~sp.p_active], xp[~sp.p_active])
+
+
+def test_forcing_term_projection():
+    """Constant body force: the weak-form projection sums to f * |domain|
+    per component (partition of unity), and the residual picks it up."""
+    import jax.numpy as jnp
+
+    from navier_stokes_solver_tpu.geometry import (
+        make_channel_geometry,
+        make_fe_space,
+    )
+    from navier_stokes_solver_tpu.ops import Blocks, make_disc, residual, diag_F
+
+    geo = make_channel_geometry(12, 6, with_cylinder=False)
+    space = make_fe_space(geo, 2, 1)
+    disc = make_disc(space, forcing=lambda x, y: (2.0 + 0 * x, -1.0 + 0 * x))
+    area = geo.n_active_cells * geo.hx * geo.hy
+    np.testing.assert_allclose(float(disc.forcing_rhs[0].sum()), 2.0 * area,
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(disc.forcing_rhs[1].sum()), -1.0 * area,
+                               rtol=1e-12)
+
+    zero = Blocks(u=disc.zeros_u(), p=disc.zeros_p())
+    dF = diag_F(disc, 0.1, 0.0, None, stokes=True)
+    r_f = residual(disc, 0.1, 0.0, zero, zero.u, dF, stokes=True, inlet_amp=0.0)
+    disc0 = make_disc(space)
+    r_0 = residual(disc0, 0.1, 0.0, zero, zero.u, dF, stokes=True, inlet_amp=0.0)
+    diff = np.asarray(r_f.u - r_0.u)
+    free = np.asarray(~disc.u_dirichlet)
+    np.testing.assert_allclose(
+        diff[:, free[0] if free.ndim == 3 else free],
+        np.asarray(disc.forcing_rhs)[:, free[0] if free.ndim == 3 else free],
+        atol=1e-14,
+    )
