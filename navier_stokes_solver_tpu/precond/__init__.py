@@ -5,8 +5,10 @@ TPU-native re-designs of the reference's three preconditioners
 stationary variants NSSolverStationary.hpp:115-335), with the exact algebraic
 sweeps and inner-solve tolerances.  The sparse smoothers the reference gets
 from Trilinos (ILU / SSOR / AMG) have no efficient TPU analog; this package
-provides the documented *equivalence layer* (point-Jacobi / Chebyshev today,
-geometric multigrid planned) -- see ``precond.smoothers``.
+provides the documented *equivalence layer*: a rediscretization geometric
+multigrid V-cycle (``precond.mg``) with Chebyshev-Jacobi or cell-block
+additive-Schwarz smoothing (``precond.schwarz``), run in f32 inside the f64
+outer Krylov.
 """
 
 from navier_stokes_solver_tpu.precond.blocks import (
@@ -14,5 +16,12 @@ from navier_stokes_solver_tpu.precond.blocks import (
     PrecondConfig,
     make_preconditioner,
 )
+from navier_stokes_solver_tpu.precond.mg import attach_mg, make_mg_vcycle
 
-__all__ = ["LinearContext", "PrecondConfig", "make_preconditioner"]
+__all__ = [
+    "LinearContext",
+    "PrecondConfig",
+    "make_preconditioner",
+    "attach_mg",
+    "make_mg_vcycle",
+]
