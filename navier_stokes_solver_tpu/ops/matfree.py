@@ -330,7 +330,9 @@ def apply_F(
         pallas_enabled,
     )
 
-    if pallas_enabled():
+    # Mosaic has no f64 on TPU: the fused kernel serves the f32
+    # preconditioner context; the f64 outer matvec stays on the XLA path.
+    if pallas_enabled() and x_u.dtype == jnp.float32:
         x_loc = _gather_v(disc, x_u)
         loc = cell_apply_F_pallas(disc, nu, inv_dt, linq, x_loc, stokes=stokes)
         y = _scatter_v(disc, loc)

@@ -4,6 +4,7 @@ Runs in interpret mode on the CPU test mesh; on TPU the same kernel
 compiles via Mosaic (opt-in with NSTPU_PALLAS=1).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -70,15 +71,26 @@ def test_cell_kernel_matches_xla(deg, stokes):
 
 
 def test_apply_F_pallas_path(monkeypatch):
-    """End-to-end apply_F with NSTPU_PALLAS=1 equals the XLA path."""
+    """End-to-end apply_F with NSTPU_PALLAS=1 equals the XLA path.
+
+    The Pallas path engages only for f32 operands (Mosaic has no f64 on
+    TPU); the preconditioner context runs in f32, the f64 outer stays XLA.
+    """
     import navier_stokes_solver_tpu.ops.matfree as mf
 
     disc = make_disc(make_fe_space(make_channel_geometry(16, 8), 2, 1))
+    disc32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        disc,
+    )
     rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.standard_normal((2,) + disc.NV))
-    want = mf.apply_F(disc, 0.1, 0.0, None, x, stokes=True)
+    x = jnp.asarray(rng.standard_normal((2,) + disc.NV), jnp.float32)
+    want = mf.apply_F(disc32, 0.1, 0.0, None, x, stokes=True)
     monkeypatch.setenv("NSTPU_PALLAS", "1")
-    got = mf.apply_F(disc, 0.1, 0.0, None, x, stokes=True)
+    got = mf.apply_F(disc32, 0.1, 0.0, None, x, stokes=True)
+    assert got.dtype == jnp.float32
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-12
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
