@@ -117,22 +117,26 @@ def _run(
     tab_spec = pl.BlockSpec(
         (n_q, n_v), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((2 * n_v, C), dtype),
-        grid=(pl.cdiv(C, block_c),),
-        in_specs=[
-            spec_rows(2 * n_v),
-            spec_rows(6 * n_q),
-            spec_rows(n_q),
-            tab_spec,
-            tab_spec,
-            tab_spec,
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=spec_rows(2 * n_v),
-        interpret=_interpret(),
-    )(x_flat, uq_flat, cell_w, phi, dx, dy, scalars)
+    # Mosaic cannot legalize the i64 index arithmetic that global
+    # jax_enable_x64 injects (even for all-f32 kernels); trace the kernel
+    # with x64 off -- all operands here are explicitly f32 anyway.
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((2 * n_v, C), dtype),
+            grid=(pl.cdiv(C, block_c),),
+            in_specs=[
+                spec_rows(2 * n_v),
+                spec_rows(6 * n_q),
+                spec_rows(n_q),
+                tab_spec,
+                tab_spec,
+                tab_spec,
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=spec_rows(2 * n_v),
+            interpret=_interpret(),
+        )(x_flat, uq_flat, cell_w, phi, dx, dy, scalars)
 
 
 def cell_apply_F_pallas(disc: Disc, nu, inv_dt, linq, x_loc, *, stokes: bool):
