@@ -20,6 +20,7 @@ mode on CPU (tests/test_pallas.py).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -119,8 +120,14 @@ def _run(
     )
     # Mosaic cannot legalize the i64 index arithmetic that global
     # jax_enable_x64 injects (even for all-f32 kernels); trace the kernel
-    # with x64 off -- all operands here are explicitly f32 anyway.
-    with jax.enable_x64(False):
+    # with x64 off when operands are f32 (the TPU path).  The f64 variant
+    # exists only for CPU interpret-mode tests, which need x64 on.
+    ctx = (
+        jax.enable_x64(False)
+        if dtype == jnp.float32
+        else contextlib.nullcontext()
+    )
+    with ctx:
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((2 * n_v, C), dtype),
