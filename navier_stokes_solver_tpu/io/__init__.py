@@ -2,7 +2,12 @@
 
 from navier_stokes_solver_tpu.io.vtu import write_vtu, write_vtu_record, write_vtu_tri
 from navier_stokes_solver_tpu.io.msh import read_msh, write_msh
-from navier_stokes_solver_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from navier_stokes_solver_tpu.io.checkpoint import (
+    load_checkpoint,
+    load_time_state,
+    save_checkpoint,
+    save_time_state,
+)
 
 __all__ = [
     "write_vtu",
@@ -12,4 +17,6 @@ __all__ = [
     "read_msh",
     "save_checkpoint",
     "load_checkpoint",
+    "save_time_state",
+    "load_time_state",
 ]

@@ -17,9 +17,48 @@ import numpy as np
 
 from navier_stokes_solver_tpu.ops import Blocks
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "save_time_state",
+    "load_time_state",
+]
 
 _FORMAT_VERSION = 1
+
+
+def save_time_state(ts, path: str) -> str:
+    """Save a fused-timeloop ``TimeState`` (performance path) to ``path``
+    (directory), enabling elastic restart of long on-device runs."""
+    os.makedirs(path, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(path, "time_state.npz"),
+        u=np.asarray(ts.solution.u),
+        p=np.asarray(ts.solution.p),
+        time=np.asarray(ts.time),
+        step=np.asarray(ts.step),
+        drag=np.asarray(ts.drag),
+        lift=np.asarray(ts.lift),
+    )
+    return path
+
+
+def load_time_state(disc, path: str):
+    """Restore a ``TimeState`` saved by :func:`save_time_state`."""
+    from navier_stokes_solver_tpu.timeloop import initial_state
+
+    data = np.load(os.path.join(path, "time_state.npz"))
+    dt = disc.dtype
+    ts = initial_state(disc)
+    return ts._replace(
+        solution=Blocks(
+            u=jnp.asarray(data["u"], dt), p=jnp.asarray(data["p"], dt)
+        ),
+        time=jnp.asarray(data["time"], dt),
+        step=jnp.asarray(data["step"], jnp.int32),
+        drag=jnp.asarray(data["drag"], dt),
+        lift=jnp.asarray(data["lift"], dt),
+    )
 
 
 def save_checkpoint(solver, path: str) -> str:

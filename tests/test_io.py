@@ -107,3 +107,28 @@ def test_vtu_tri_output(tmp_path):
     write_vtu_tri(disc, u, p, path)
     content = open(path).read()
     assert "UnstructuredGrid" in content and "velocity" in content
+
+
+def test_time_state_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from navier_stokes_solver_tpu.geometry import make_fe_space
+    from navier_stokes_solver_tpu.io import load_time_state, save_time_state
+    from navier_stokes_solver_tpu.ops import make_disc
+    from navier_stokes_solver_tpu.timeloop import initial_state, make_time_step
+
+    disc = make_disc(make_fe_space(make_channel_geometry(16, 8), 2, 1))
+    step = make_time_step(disc, solver_type=1, prec_type=2, tol=1e-8,
+                          newton_max=2, krylov_maxiter=100)
+    ts1 = jax.jit(step)(initial_state(disc), 0.01, 0.01)
+    save_time_state(ts1, str(tmp_path / "ts"))
+    ts_back = load_time_state(disc, str(tmp_path / "ts"))
+    assert int(ts_back.step) == 1
+    np.testing.assert_array_equal(
+        np.asarray(ts_back.solution.u), np.asarray(ts1.solution.u)
+    )
+    # resumes cleanly
+    ts2 = jax.jit(step)(ts_back, 0.01, 0.01)
+    assert int(ts2.step) == 2
+    assert np.isfinite(float(ts2.drag))
