@@ -91,3 +91,22 @@ def test_pytree_operands():
     np.testing.assert_allclose(
         np.concatenate([x["a"], x["b"]]), x_ref, atol=1e-8
     )
+
+
+def test_chunked_fgmres_equals_continuous():
+    """Chunked execution (the TPU per-call-budget workaround) must be
+    EXACTLY a restarted solve: two maxiter-60 calls, the second
+    warm-started, reproduce one maxiter-120 run bit-for-bit (chunks are
+    multiples of the restart basis 30)."""
+    rng = np.random.default_rng(7)
+    n = 80
+    A = jnp.asarray(rng.standard_normal((n, n)) + 4.0 * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: A @ x
+    x0 = jnp.zeros(n)
+
+    x_cont, info_cont = fgmres(mv, b, x0, tol=1e-30, maxiter=120)
+    x1, i1 = fgmres(mv, b, x0, tol=1e-30, maxiter=60)
+    x2, i2 = fgmres(mv, b, x1, tol=1e-30, maxiter=60)
+    assert int(i1.iters) == 60 and int(i2.iters) == 60
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x_cont))
