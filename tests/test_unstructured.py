@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from navier_stokes_solver_tpu.geometry import make_channel_geometry
 from navier_stokes_solver_tpu.ops import Blocks
@@ -140,3 +141,37 @@ def test_simplex_solver_matches_structured_drag():
     assert np.isfinite(s_tri.drag_coeff)
     # voxelized-cylinder coarse meshes: expect O(10%) agreement
     np.testing.assert_allclose(s_tri.drag_coeff, s_q.drag_coeff, rtol=0.2)
+
+
+@pytest.mark.parametrize("stokes", [True, False])
+def test_simplex_jacobian_matches_dense_oracle(stokes):
+    """Matrix-free simplex apply_jacobian vs an independent dense assembly
+    (explicit loops, tests/reference_fem_tri.py) on a tiny mesh."""
+    from tests.reference_fem_tri import DenseTriNS
+
+    disc, _geo = _disc(5, 3)
+    oracle = DenseTriNS(disc)
+    rng = np.random.default_rng(4)
+    nu, inv_dt = 0.04, 10.0
+    uk = rng.standard_normal((2, disc.n_nodes_v))
+    xu = rng.standard_normal((2, disc.n_nodes_v))
+    xp = rng.standard_normal(disc.n_nodes_p)
+
+    A = oracle.assemble_jacobian(uk, nu, inv_dt, stokes=stokes)
+    y_dense = A @ oracle.flat(xu, xp)
+
+    st = Blocks(u=jnp.asarray(uk), p=jnp.zeros(disc.n_nodes_p, disc.dtype))
+    linq = None if stokes else uops.eval_state(disc, st)
+    dF = uops.diag_F(disc, nu, inv_dt, linq, stokes=stokes)
+    y = uops.apply_jacobian(
+        disc, nu, inv_dt, linq, dF,
+        Blocks(u=jnp.asarray(xu), p=jnp.asarray(xp)), stokes=stokes,
+    )
+    got = oracle.flat(np.asarray(y.u), np.asarray(y.p))
+    np.testing.assert_allclose(got, y_dense, atol=1e-11)
+    # kept Dirichlet diagonal equals the matrix-free diag extraction
+    mask = np.asarray(disc.u_dirichlet)
+    d_dense = np.diag(A)[: 2 * disc.n_nodes_v].reshape(2, disc.n_nodes_v)
+    np.testing.assert_allclose(
+        np.asarray(dF)[:, mask], d_dense[:, mask], atol=1e-11
+    )
