@@ -1,5 +1,6 @@
 """CLI flag parity with the reference drivers (test.cpp:25-34 defaults)."""
 
+import numpy as np
 import pytest
 
 from navier_stokes_solver_tpu.cli.common import parse_options
@@ -38,3 +39,42 @@ def test_mesh_and_T_parsing():
 def test_invalid_solver_rejected():
     with pytest.raises(SystemExit):
         parse_options(["-s", "5"], unsteady=False)
+
+
+def test_stationary_cli_with_mesh_file(tmp_path, capsys, monkeypatch):
+    """End-to-end -M run through the CLI reading a generated MSH2 file."""
+    from navier_stokes_solver_tpu.geometry import make_channel_geometry
+    from navier_stokes_solver_tpu.unstructured import triangulate_channel
+
+    # write a triangle mesh file
+    geo = make_channel_geometry(10, 5)
+    nodes, tri, edges, tags = triangulate_channel(geo)
+    path = tmp_path / "m.msh"
+    lines = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat", "$Nodes", str(len(nodes))]
+    for i, (x, y) in enumerate(nodes):
+        lines.append(f"{i+1} {x} {y} 0")
+    lines.append("$EndNodes")
+    els = []
+    eid = 0
+    for (a, b), t in zip(edges, tags):
+        eid += 1
+        els.append(f"{eid} 1 2 {t} {t} {a+1} {b+1}")
+    for (a, b, c) in tri:
+        eid += 1
+        els.append(f"{eid} 2 2 0 0 {a+1} {b+1} {c+1}")
+    lines += ["$Elements", str(eid), *els, "$EndElements"]
+    path.write_text("\n".join(lines) + "\n")
+
+    from navier_stokes_solver_tpu.api import NSSolverStationary
+    from navier_stokes_solver_tpu.cli.common import parse_options
+
+    opts = parse_options(["-M", "-r", "5", "-t", "1e-6", "-p", "2", "--quiet"],
+                         unsteady=False)
+    opts.mesh_file_name = str(path)
+    s = NSSolverStationary(opts)
+    s.setup()
+    assert s.space is None  # simplex backend selected
+    assert s.disc.n_tri == tri.shape[0]
+    s.solve_newton()
+    s.compute_lift_drag()
+    assert np.isfinite(s.drag_force)
