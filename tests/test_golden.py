@@ -84,3 +84,35 @@ def test_unsteady_host_vs_fused_drag():
     fused.solve_fused(newton_max=10, newton_tol=1e-9)
 
     np.testing.assert_allclose(fused.drag_force, host.drag_force, rtol=1e-4)
+
+
+def test_solver_types_agree():
+    """GMRES (left-preconditioned) and FGMRES must converge to the same
+    fields (solver dispatch parity, NSSolver.cpp:601-672).  BiCGStab is
+    checked on the unsteady (mass-dominated) system: on the stationary
+    Stokes saddle system it diverges -- with deal.II the same run aborts
+    with SolverControl::NoConvergence, so there is no reference answer to
+    match there."""
+    base = dict(mesh_size=(16, 8), degree_velocity=2, degree_pressure=1,
+                Re=10.0, preconditioner_type=2, tolerance=1e-9,
+                verbose=False, multigrid=False)
+    drags = []
+    for s_type in (0, 1):
+        s = NSSolverStationary(SolverOptions(solver_type=s_type, **base))
+        s.setup()
+        s.solve_newton()
+        s.compute_lift_drag()
+        drags.append(s.drag_force)
+    np.testing.assert_allclose(drags[0], drags[1], rtol=1e-6)
+
+    ubase = dict(mesh_size=(16, 8), degree_velocity=2, degree_pressure=1,
+                 Re=10.0, preconditioner_type=1, tolerance=1e-9,
+                 time_span=0.02, time_step=0.01, verbose=False,
+                 multigrid=False)
+    udrags = []
+    for s_type in (1, 2):
+        s = NSSolver(SolverOptions(solver_type=s_type, **ubase))
+        s.setup()
+        s.solve()
+        udrags.append(s.drag_force)
+    np.testing.assert_allclose(udrags[0], udrags[1], rtol=1e-5)
