@@ -45,6 +45,9 @@ class SolverOptions:
     # Optional body force f(x, y) -> (fx, fy) (the reference's ForcingTerm
     # placeholder, NSSolver.hpp:93-122; zero when None)
     forcing: Any = None
+    # Preconditioner equivalence-layer tunables (precond.PrecondConfig):
+    # inner_mode krylov/fixed, mg smoother/degree, vmult precision, caps
+    precond_config: Any = None
 
 
 class NSSolverBase:
@@ -207,6 +210,7 @@ class NSSolverBase:
                 variant=self.VARIANT,
                 maxiter=chunk,
                 project_x0=first,
+                precond_cfg=o.precond_config,
             )
             first = False
             it = int(info.iters)  # blocks until this chunk finishes

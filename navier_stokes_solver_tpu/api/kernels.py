@@ -56,7 +56,7 @@ def assemble_kernel(disc, nu, inv_dt, st: Blocks, u_old, inlet_amp, *, stokes):
     jax.jit,
     static_argnames=(
         "stokes", "solver_type", "prec_type", "variant", "maxiter",
-        "project_x0",
+        "project_x0", "precond_cfg",
     ),
 )
 def solve_kernel(
@@ -75,6 +75,7 @@ def solve_kernel(
     variant: str,
     maxiter: int,
     project_x0: bool = True,
+    precond_cfg=None,
 ):
     """One tangent solve (NSSolver::solve_system, NSSolver.cpp:601-672).
 
@@ -92,7 +93,7 @@ def solve_kernel(
         disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF,
         state_u=None if stokes else st.u, ops=ops,
     )
-    M = make_preconditioner(prec_type, ctx, variant=variant)
+    M = make_preconditioner(prec_type, ctx, variant=variant, cfg=precond_cfg)
 
     def A(x: Blocks) -> Blocks:
         return ops.apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
