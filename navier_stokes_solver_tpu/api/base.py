@@ -48,6 +48,11 @@ class SolverOptions:
     # Preconditioner equivalence-layer tunables (precond.PrecondConfig):
     # inner_mode krylov/fixed, mg smoother/degree, vmult precision, caps
     precond_config: Any = None
+    # Domain decomposition (x_tiles, y_tiles): run every tangent solve
+    # distributed over a jax device mesh inside shard_map -- the analog of
+    # the reference's `mpiexec -n` rank count (run_sim_steady.sh:24).
+    # None = single device.  Structured backend only.
+    dd: Any = None
 
 
 class NSSolverBase:
@@ -76,6 +81,8 @@ class NSSolverBase:
         self.lift_coeff = 0.0
         self.drag_coeff = 0.0
         self._is_setup = False
+        self.K = kernels  # kernel backend; swapped for DistKernels under dd
+        self.dist_mesh = None
         from navier_stokes_solver_tpu.obs import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -134,6 +141,8 @@ class NSSolverBase:
                 from navier_stokes_solver_tpu.io import write_msh
 
                 write_msh(self.geo, "mesh.msh")
+            if o.dd is not None:
+                self._setup_dist()
         self.log(f"  Number of elements = {n_el}")
         self.log("-----------------------------------------------")
         self.log("Initializing the finite element space")
@@ -147,12 +156,52 @@ class NSSolverBase:
         self.n_dofs = n_dofs_v + n_dofs_p
 
         zero = Blocks(u=self.disc.zeros_u(), p=self.disc.zeros_p())
+        if self.dist_mesh is not None:
+            import jax
+            import jax.numpy as jnp
+
+            n_tiles = self.disc.halo_n * self.disc.halo_ny
+            stack = lambda a: jnp.zeros((n_tiles,) + a.shape, a.dtype)
+            zero = jax.tree_util.tree_map(stack, zero)
+            from navier_stokes_solver_tpu.dist import device_put_dist
+
+            zero = device_put_dist(zero, self.dist_mesh)
         self.solution = zero
         self.solution_old = zero
         self.delta = zero  # persistent delta_owned (warm start semantics)
         self._is_setup = True
         self.setup_seconds = _time.perf_counter() - t0
         return self
+
+    def _setup_dist(self):
+        """Decompose the structured disc over a device mesh and swap the
+        kernel backend for the shard_map one (the reference's MPI domain
+        decomposition analog; see dist/kernels.py)."""
+        o = self.options
+        if self.space is None:
+            raise NotImplementedError(
+                "domain decomposition requires the structured backend"
+            )
+        import jax
+
+        from navier_stokes_solver_tpu.dist import (
+            decompose_disc,
+            device_put_dist,
+            make_dd_mesh,
+        )
+        from navier_stokes_solver_tpu.dist.kernels import DistKernels
+
+        n_x, n_y = (o.dd, 1) if isinstance(o.dd, int) else tuple(o.dd)
+        if n_x * n_y > len(jax.devices()):
+            raise ValueError(
+                f"dd={o.dd} needs {n_x * n_y} devices but only "
+                f"{len(jax.devices())} are available"
+            )
+        self.dist_mesh = make_dd_mesh(n_x, n_y)
+        self.disc = decompose_disc(self.disc, n_x, n_y)
+        self.disc = device_put_dist(self.disc, self.dist_mesh)
+        self.K = DistKernels(self.disc, self.dist_mesh)
+        self.log(f"  Domain decomposition: {n_x} x {n_y} tiles")
 
     # ------------------------------------------------------------------
     @property
@@ -165,7 +214,7 @@ class NSSolverBase:
     def assemble_system(self, stokes: bool, lifting: bool) -> float:
         """Assemble rhs = -R with BC; returns its l2 norm."""
         with self.timer.phase("assemble"):
-            self.rhs, rn = kernels.assemble_kernel(
+            self.rhs, rn = self.K.assemble_kernel(
                 self.disc,
                 self.nu,
                 self.inv_dt,
@@ -179,9 +228,13 @@ class NSSolverBase:
 
     # Krylov iterations executed per device call.  One XLA program running
     # for many minutes gets killed by the TPU runtime; chunking bounds the
-    # per-call device time while restarted-GMRES semantics make the chunks
-    # mathematically identical to one long solve (chunk = a multiple of the
-    # restart basis 30).  Host overhead is one dispatch per chunk (~ms).
+    # per-call device time.  For GMRES/FGMRES the chunks are mathematically
+    # identical to one long restarted solve (chunk = a multiple of the
+    # restart basis 30, and restarts recompute the true residual).  For
+    # BiCGStab (solver_type 2) each chunk resets the shadow residual
+    # rbar = r, which changes the iteration *trajectory* (not the fixed
+    # point) vs one continuous run -- a documented deviation kept for the
+    # per-call execution budget.  Host overhead is one dispatch per chunk.
     KRYLOV_CHUNK: int = 30
 
     def solve_system(self, stokes: bool, lifting: bool) -> int:
@@ -195,7 +248,7 @@ class NSSolverBase:
         first = True
         while True:
             chunk = min(self.KRYLOV_CHUNK, self.KRYLOV_MAXITER - total)
-            self.delta, info = kernels.solve_kernel(
+            self.delta, info = self.K.solve_kernel(
                 self.disc,
                 self.nu,
                 self.inv_dt,
@@ -215,6 +268,16 @@ class NSSolverBase:
             first = False
             it = int(info.iters)  # blocks until this chunk finishes
             total += it
+            if bool(info.failed):
+                # deal.II SolverControl::check_failure would throw
+                # NoConvergence here (non-finite residual / breakdown);
+                # surface it instead of letting Newton continue on a
+                # corrupted update (silent-wrong-result path).
+                raise RuntimeError(
+                    f"Krylov breakdown after {total} iterations "
+                    f"(residual {float(info.resnorm)!r}); the reference "
+                    "aborts with deal.II NoConvergence on the same run"
+                )
             if bool(info.converged) or it < chunk or total >= self.KRYLOV_MAXITER:
                 break
         timer_ctx.__exit__(None, None, None)
@@ -228,7 +291,7 @@ class NSSolverBase:
         self.log("===============================================")
         self.log("Computing lift and drag forces")
         with self.timer.phase("lift_drag"):
-            drag, lift = kernels.lift_drag_kernel(
+            drag, lift = self.K.lift_drag_kernel(
                 self.disc, self.nu, self.solution
             )
         self.drag_force = float(drag)
@@ -302,14 +365,24 @@ class NSSolverBase:
             return
         from navier_stokes_solver_tpu.io import write_vtu_record
 
+        sol = self._gathered_solution()
         write_vtu_record(
             self.space,
-            np.asarray(self.solution.u),
-            np.asarray(self.solution.p),
+            np.asarray(sol.u),
+            np.asarray(sol.p),
             directory=self.options.output_dir,
             counter=time_step or 0,
         )
 
     def fields(self) -> tuple[np.ndarray, np.ndarray]:
-        """Host copies of (velocity, pressure)."""
-        return np.asarray(self.solution.u), np.asarray(self.solution.p)
+        """Host copies of (velocity, pressure); tile slabs are stitched
+        back to the global lattice under domain decomposition."""
+        sol = self._gathered_solution()
+        return np.asarray(sol.u), np.asarray(sol.p)
+
+    def _gathered_solution(self) -> Blocks:
+        if self.dist_mesh is None:
+            return self.solution
+        from navier_stokes_solver_tpu.dist import gather_blocks
+
+        return gather_blocks(self.solution, self.disc)

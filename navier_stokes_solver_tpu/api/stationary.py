@@ -126,7 +126,7 @@ class NSSolverStationary(NSSolverBase):
                         evaluation_point = self.solution
                         alpha = 1.0
                         while alpha > 1e-12:
-                            self.solution = kernels.update_solution(
+                            self.solution = self.K.update_solution(
                                 evaluation_point, self.delta, alpha
                             )
                             residual_norm = self.assemble_system(

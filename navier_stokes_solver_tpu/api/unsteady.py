@@ -96,7 +96,7 @@ class NSSolver(NSSolverBase):
                     evaluation_point = self.solution
                     alpha = 1.0
                     while alpha > 1e-12:
-                        self.solution = kernels.update_solution(
+                        self.solution = self.K.update_solution(
                             evaluation_point, self.delta, alpha
                         )
                         residual_norm = self.assemble_system(False, lifting=False)
@@ -180,6 +180,15 @@ class NSSolver(NSSolverBase):
         if not isinstance(self.disc, Disc):
             raise NotImplementedError(
                 "solve_fused requires the structured backend"
+            )
+        if self.Re < 1.0:
+            # the host/reference ramp (current_Re = 1.0; current_Re <= target)
+            # never executes a solve for targets below 1 (NSSolver.cpp:684)
+            # -- refuse rather than silently diverge from the host path
+            raise ValueError(
+                "solve_fused requires Re >= 1: the reference's per-step "
+                "continuation never solves for targets below 1, so there "
+                "is no host trajectory to reproduce"
             )
         o = self.options
         n_steps = int(round(o.time_span / o.time_step))

@@ -37,10 +37,16 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
     p.add_argument(
         "-M",
         "--read-mesh-from-file",
-        action="store_true",
-        help="read mesh from file instead of generating it (switches FE "
-        "degrees to 2,1; the structured-grid backend uses the generated "
-        "channel at the requested resolution)",
+        nargs="?",
+        const="",
+        default=None,
+        metavar="FILE",
+        help="use the unstructured P2/P1 simplex backend (switches FE "
+        "degrees to 2,1).  With FILE, read a gmsh .msh; without, "
+        "triangulate the internal channel at the requested resolution. "
+        "(The reference hardcodes its mesh path, test.cpp:147, and its "
+        "getopt optstring declares 'M:' so '-M' eats the next token, "
+        "test.cpp:39 -- here the argument is real and optional.)",
     )
     p.add_argument(
         "-m",
@@ -93,7 +99,8 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
         solver_type=args.solver,
         tolerance=args.tolerance,
         preconditioner_type=args.preconditioner,
-        read_mesh_from_file=args.read_mesh_from_file,
+        read_mesh_from_file=args.read_mesh_from_file is not None,
+        mesh_file_name=args.read_mesh_from_file or "",
         verbose=not args.quiet,
         write_output=args.output,
         output_dir=args.output_dir,

@@ -76,8 +76,83 @@ def _check_divisible(n: int, parts: int, what: str):
         )
 
 
+def _decomposed_mg_chain(
+    disc: Disc,
+    n_dev: int,
+    n_dev_y: int,
+    axis: str,
+    axis_y: str,
+    *,
+    min_cells: int,
+    max_levels: int,
+):
+    """Build the MG chain for a decomposed disc by per-tile ceil-halving.
+
+    Every level's global cell counts are (local count) x (tile count), so
+    divisibility holds at every depth.  Transfer matrices are *tile-local*
+    (evaluated on the local unit-interval grids): prolongation of a
+    continuous nodal FE function is tile-local exact (seam nodes evaluate
+    identically from either adjacent cell), and restriction becomes exact
+    after seam-weighting + the standard seam-sum exchange.  The matrices
+    are identical across tiles and stored tile-stacked so the whole Disc
+    pytree shards uniformly over the device mesh.
+    """
+    from navier_stokes_solver_tpu.elements import make_taylor_hood
+    from navier_stokes_solver_tpu.geometry import (
+        make_channel_geometry,
+        make_fe_space,
+    )
+    from navier_stokes_solver_tpu.ops.disc import MGEdge, make_disc
+    from navier_stokes_solver_tpu.precond.mg import _interp_1d
+
+    tables = make_taylor_hood(disc.deg_v, disc.deg_p, disc.n_q1d)
+    nodes = tables.nodes_v
+    deg = disc.deg_v
+    dtype = disc.dtype
+    n_tiles = n_dev * n_dev_y
+
+    def stack(mat):
+        return jnp.asarray(np.broadcast_to(mat, (n_tiles,) + mat.shape), dtype)
+
+    def build(nxl: int, nyl: int, level: int):
+        nxl_c, nyl_c = -(-nxl // 2), -(-nyl // 2)
+        nx_c, ny_c = nxl_c * n_dev, nyl_c * n_dev_y
+        if (
+            level >= max_levels
+            or nx_c * ny_c < min_cells
+            or ny_c < 2
+            or (nxl_c == nxl and nyl_c == nyl)
+        ):
+            return None
+        geo_c = make_channel_geometry(nx_c, ny_c)
+        space_c = make_fe_space(geo_c, disc.deg_v, disc.deg_p)
+        disc_c = make_disc(space_c, dtype)
+        sdisc_c = decompose_disc(
+            disc_c, n_dev, n_dev_y, axis, axis_y, multigrid=False
+        )
+        edge_down = build(nxl_c, nyl_c, level + 1)
+        if edge_down is not None:
+            sdisc_c = sdisc_c.replace(mg=edge_down)
+        return MGEdge(
+            coarse=sdisc_c,
+            Pvx=stack(_interp_1d(nxl_c, nxl, deg, nodes)),
+            Pvy=stack(_interp_1d(nyl_c, nyl, deg, nodes)),
+            Evx=stack(_interp_1d(nxl, nxl_c, deg, nodes)),
+            Evy=stack(_interp_1d(nyl, nyl_c, deg, nodes)),
+        )
+
+    return build(disc.nx // n_dev, disc.ny // n_dev_y, 0)
+
+
 def decompose_disc(
-    disc: Disc, n_dev: int, n_dev_y: int = 1, axis: str = "x", axis_y: str = "y"
+    disc: Disc,
+    n_dev: int,
+    n_dev_y: int = 1,
+    axis: str = "x",
+    axis_y: str = "y",
+    multigrid: bool | None = None,
+    mg_min_cells: int = 48,
+    mg_max_levels: int = 6,
 ) -> Disc:
     """Split a global Disc into ``n_dev_y x n_dev`` tiles, stacked on a
     leading (y-major) axis.
@@ -85,9 +160,29 @@ def decompose_disc(
     The returned Disc has tile-local static config (``nx = nx/n_dev``,
     ``ny = ny/n_dev_y``, halo axes set) and every array leaf of shape
     ``[n_dev_y * n_dev, ...tile shape...]``.
+
+    ``multigrid``: attach a decomposition-aware geometric-MG chain (the
+    distributed analog of Trilinos ILU/AMG operating on the distributed
+    matrix, NSSolverStationary.hpp:225-231).  Levels are built by
+    *per-tile* ceil-halving of the cell counts (every level stays
+    tile-divisible by construction); transfers are tile-local 1-D tensor
+    factors, with seam-weighted restriction completed by the same
+    ``ppermute`` seam exchange as operator scatters (see
+    ``precond.mg.make_mg_vcycle``).  Default: inherit (chain attached iff
+    the input disc has one).
     """
     _check_divisible(disc.nx, n_dev, "nx")
     _check_divisible(disc.ny, n_dev_y, "ny")
+    if multigrid is None:
+        multigrid = disc.mg is not None
+    mg_chain = (
+        _decomposed_mg_chain(
+            disc, n_dev, n_dev_y, axis, axis_y,
+            min_cells=mg_min_cells, max_levels=mg_max_levels,
+        )
+        if multigrid
+        else None
+    )
     nxl = disc.nx // n_dev
     nyl = disc.ny // n_dev_y
     kv, kp = disc.deg_v, disc.deg_p
@@ -135,7 +230,7 @@ def decompose_disc(
         halo_n=n_dev,
         halo_axis_y=axis_y if n_dev_y > 1 else None,
         halo_ny=n_dev_y,
-        mg=None,  # multigrid chain is single-tile; tiles fall back to Jacobi
+        mg=mg_chain,
         cell_mask=jnp.asarray(tiles(disc.cell_mask, cell_y, cell_x)),
         u_active=jnp.asarray(tiles(disc.u_active, lat_y(kv), lat_x(kv))),
         p_active=jnp.asarray(tiles(disc.p_active, lat_y(kp), lat_x(kp))),
@@ -233,7 +328,12 @@ def make_dist_time_step(sdisc: Disc, mesh: Mesh, **kwargs):
         for a, n in ((sdisc.halo_axis_y, sdisc.halo_ny), (sdisc.halo_axis, sdisc.halo_n))
         if a is not None and n > 1
     )
-    spec = P(axes if len(axes) > 1 else axes[0])
+    # A 1x1 "decomposition" has no sharded axis: run the tile replicated
+    # (spec P() = no partitioning) instead of indexing an empty tuple.
+    if not axes:
+        spec = P()
+    else:
+        spec = P(axes if len(axes) > 1 else axes[0])
 
     def local_step(disc_sh: Disc, ts_sh, nu, dt):
         tile = _tile_tree(disc_sh)

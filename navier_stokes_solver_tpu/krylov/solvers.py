@@ -34,8 +34,13 @@ Op = Callable
 
 class SolveInfo(NamedTuple):
     iters: jax.Array  # int32: deal.II solver_control.last_step()
-    converged: jax.Array  # bool
+    converged: jax.Array  # bool: res <= tol AND finite (never true on breakdown)
     resnorm: jax.Array  # final (estimated) residual norm
+    # bool: the iteration broke down (non-finite residual / vanishing pivot)
+    # before reaching the tolerance -- deal.II's SolverControl would throw
+    # ``NoConvergence`` here (check_failure); callers must not treat the
+    # returned iterate as a converged solve.
+    failed: jax.Array = jnp.bool_(False)
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +243,12 @@ def _gmres_core(
     x, iters, res, done = lax.while_loop(
         outer_cond, outer_body, (x0, jnp.int32(0), beta0, beta0 <= tol)
     )
-    return x, SolveInfo(iters=iters, converged=done, resnorm=res)
+    # ``done`` also fires on a non-finite residual (to stop the loop); report
+    # that as a breakdown, not as convergence (deal.II check_failure analog).
+    finite = jnp.isfinite(res)
+    return x, SolveInfo(
+        iters=iters, converged=done & finite, resnorm=res, failed=~finite
+    )
 
 
 def gmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30, dot=None):
@@ -320,7 +330,7 @@ def bicgstab(matvec, b, x0, *, tol, maxiter=1000, M=None, dot=None):
     x, r, p, v, rho, alpha, omega, it, res, done, failed = lax.while_loop(
         cond, body, init
     )
-    return x, SolveInfo(iters=it, converged=done, resnorm=res)
+    return x, SolveInfo(iters=it, converged=done, resnorm=res, failed=failed)
 
 
 # ---------------------------------------------------------------------------
@@ -339,11 +349,11 @@ def cg(matvec, b, x0, *, tol, maxiter=1000, M=None, dot=None):
     rz0 = dot(r, z)
 
     def cond(c):
-        x, r, z, d, rz, it, res, done = c
-        return (~done) & (it < maxiter)
+        x, r, z, d, rz, it, res, done, failed = c
+        return (~done) & (~failed) & (it < maxiter)
 
     def body(c):
-        x, r, z, d, rz, it, res, done = c
+        x, r, z, d, rz, it, res, done, failed = c
         q = matvec(d)
         dq = dot(d, q)
         alpha = rz / dq
@@ -366,9 +376,11 @@ def cg(matvec, b, x0, *, tol, maxiter=1000, M=None, dot=None):
         rz_new = jnp.where(ok, rz_new, rz)
         return (
             x_new, r_new, z_new, d_new, rz_new, it + 1, res_new,
-            (res_new <= tol) | ~ok,
+            res_new <= tol, ~ok,
         )
 
-    init = (x0, r, z, z, rz0, jnp.int32(0), res0, res0 <= tol)
-    x, r, z, d, rz, it, res, done = lax.while_loop(cond, body, init)
-    return x, SolveInfo(iters=it, converged=done, resnorm=res)
+    init = (
+        x0, r, z, z, rz0, jnp.int32(0), res0, res0 <= tol, jnp.bool_(False)
+    )
+    x, r, z, d, rz, it, res, done, failed = lax.while_loop(cond, body, init)
+    return x, SolveInfo(iters=it, converged=done, resnorm=res, failed=failed)

@@ -164,6 +164,39 @@ def _seam_weight(disc: Disc, width: int, axis_name: str, n: int) -> jax.Array:
     return w
 
 
+def seam_weights(disc: Disc, k: int) -> jax.Array | None:
+    """[NY, NX] inner-product weights for a degree-``k`` tile lattice:
+    duplicated seam columns/rows weigh 1/2 per sharing tile (corners 1/4).
+    ``None`` when the disc is not decomposed (all weights would be 1)."""
+    has_x = disc.halo_axis is not None and disc.halo_n > 1
+    has_y = disc.halo_axis_y is not None and disc.halo_ny > 1
+    if not (has_x or has_y):
+        return None
+    wx = (
+        _seam_weight(disc, k * disc.nx + 1, disc.halo_axis, disc.halo_n)
+        if has_x
+        else jnp.ones((k * disc.nx + 1,), disc.dtype)
+    )
+    wy = (
+        _seam_weight(disc, k * disc.ny + 1, disc.halo_axis_y, disc.halo_ny)
+        if has_y
+        else jnp.ones((k * disc.ny + 1,), disc.dtype)
+    )
+    return wy[:, None] * wx[None, :]
+
+
+def mesh_axes(disc: Disc) -> tuple[str, ...]:
+    """Device-mesh axis names this tile participates in (empty = single)."""
+    return tuple(
+        a
+        for a, n in (
+            (disc.halo_axis, disc.halo_n),
+            (disc.halo_axis_y, disc.halo_ny),
+        )
+        if a is not None and n > 1
+    )
+
+
 def make_dot(disc: Disc):
     """Inner product over (possibly tile-local) lattice pytrees.
 
@@ -179,23 +212,8 @@ def make_dot(disc: Disc):
 
         return tvdot
 
-    def axis_w(k):
-        wx = (
-            _seam_weight(disc, k * disc.nx + 1, disc.halo_axis, disc.halo_n)
-            if has_x
-            else jnp.ones((k * disc.nx + 1,), disc.dtype)
-        )
-        wy = (
-            _seam_weight(
-                disc, k * disc.ny + 1, disc.halo_axis_y, disc.halo_ny
-            )
-            if has_y
-            else jnp.ones((k * disc.ny + 1,), disc.dtype)
-        )
-        return wy[:, None] * wx[None, :]
-
-    wv = axis_w(disc.deg_v)
-    wp = axis_w(disc.deg_p)
+    wv = seam_weights(disc, disc.deg_v)
+    wp = seam_weights(disc, disc.deg_p)
     axes = tuple(
         a for a in (disc.halo_axis if has_x else None,
                     disc.halo_axis_y if has_y else None)

@@ -71,10 +71,21 @@ class PrecondConfig:
     fixed_f_cycles: int = 2
     fixed_mp_degree: int = 6
     mg_smooth_degree: int = 3
-    # V-cycle smoother: "jacobi" (Chebyshev-Jacobi) or "schwarz"
-    # (cell-block additive Schwarz -- stronger on high-order elements,
-    # costlier per sweep)
-    mg_smoother: str = "jacobi"
+    # V-cycle smoother: "gmres" (fixed-step minimal-residual smoothing,
+    # robust on the nonsymmetric convection-dominated block -- the
+    # production default), "jacobi" (Chebyshev-Jacobi; diverges on the
+    # NS-regime block, Stokes/SPD only) or "schwarz" (cell-block additive
+    # Schwarz -- stronger per sweep, costlier)
+    mg_smoother: str = "gmres"
+    # Inner-solve tolerance overrides for blockTriangular (None = the
+    # reference's values: velocity rel 1e-4 unsteady / 1e-2 stationary,
+    # pressure rel 1e-5 / 1e-2 -- NSSolver.hpp:219/228,
+    # NSSolverStationary.hpp:196/211).  Part of the documented equivalence
+    # layer: with the MG-preconditioned inner solves a different
+    # inner/outer work split can be much cheaper at identical outer
+    # tolerance (measured in docs/PERF.md).
+    tri_rel_u: float | None = None
+    tri_rel_p: float | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,7 +163,7 @@ class LinearContext:
                 self.disc, self.nu, self.inv_dt, self.state_u,
                 stokes=self.stokes,
                 smooth_degree=getattr(cfg, "mg_smooth_degree", 3),
-                smoother=getattr(cfg, "mg_smoother", "jacobi"),
+                smoother=getattr(cfg, "mg_smoother", "gmres"),
                 dtype=_jnp.dtype(mg_dtype) if mg_dtype else None,
             )
         return self.jacobi_F()
@@ -267,8 +278,8 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     """
     mf, mp = ctx.smoother_F(cfg), ctx.jacobi_Mp()
     dot, nrm = ctx.dot(), ctx.norm()
-    rel_u = 1e-4 if variant == "unsteady" else 1e-2
-    rel_p = 1e-5 if variant == "unsteady" else 1e-2
+    rel_u = cfg.tri_rel_u or (1e-4 if variant == "unsteady" else 1e-2)
+    rel_p = cfg.tri_rel_p or (1e-5 if variant == "unsteady" else 1e-2)
 
     if _resolve_inner_mode(ctx, cfg) == "fixed":
         solve_f = _fixed_F_solver(ctx, cfg, mf)

@@ -33,9 +33,16 @@ import numpy as np
 from navier_stokes_solver_tpu.elements import make_taylor_hood
 from navier_stokes_solver_tpu.elements.taylor_hood import lagrange_values
 from navier_stokes_solver_tpu.geometry import make_channel_geometry, make_fe_space
-from navier_stokes_solver_tpu.krylov import cg
+from navier_stokes_solver_tpu.krylov import cg, gmres
 from navier_stokes_solver_tpu.ops.disc import Disc, MGEdge, make_disc
-from navier_stokes_solver_tpu.ops.matfree import _eval_v, apply_F, diag_F
+from navier_stokes_solver_tpu.ops.matfree import (
+    _eval_v,
+    _seam_sum,
+    apply_F,
+    diag_F,
+    make_dot,
+    seam_weights,
+)
 from navier_stokes_solver_tpu.ops import LinearizationQ
 
 __all__ = ["attach_mg", "make_mg_vcycle", "mg_level_shapes"]
@@ -133,20 +140,72 @@ def _as_prec(dinv_or_fn):
     return lambda r: dinv_or_fn * r
 
 
-def _estimate_lmax(A, prec, shape, dtype, iters: int = 8):
+def _estimate_lmax(A, prec, shape, dtype, iters: int = 8, dot=None):
     """Power iteration for the spectral radius of ``M^-1 A`` (matrix-free,
-    on device; the analog of Ifpack's eigenvalue estimate for Chebyshev)."""
+    on device; the analog of Ifpack's eigenvalue estimate for Chebyshev).
+
+    Under decomposition ``dot`` must be the seam-weighted psum dot.  (The
+    start vector is per-tile random with inconsistent seams -- harmless:
+    the estimate only sets the Chebyshev window, and the production gmres
+    smoother does not use it at all.)"""
     P = _as_prec(prec)
+    dot = dot or (lambda a, b: jnp.vdot(a, b).real)
     v = jax.random.normal(jax.random.PRNGKey(7), shape, dtype)
 
     def body(_, carry):
         v, lam = carry
         w = P(A(v))
-        lam = jnp.sqrt(jnp.vdot(w, w).real)
+        lam = jnp.sqrt(dot(w, w))
         return w / jnp.maximum(lam, 1e-30), lam
 
     _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.ones((), dtype)))
     return lam
+
+
+def _gmres_smooth(A, prec, b, x, k: int, dot=None):
+    """``k`` fixed steps of Jacobi-preconditioned GMRES as a smoother.
+
+    Chebyshev assumes a real positive spectrum; the Jacobi-normalized
+    *convection-dominated* velocity block (NS regime at nu = 1/90) has
+    eigenvalues far off the real axis and Chebyshev smoothing diverges on it
+    (measured: V(3,3)-cheb tail rate > 1 at 32x12, vs 0.27 with this
+    smoother).  A fixed-k minimal-residual polynomial adapts to the actual
+    spectrum per application and cannot increase the residual.  The smoother
+    is (mildly) nonlinear; every consumer is a flexible method (FGMRES
+    inner solves / outer FGMRES), so that is safe.
+
+    Unrolled Arnoldi (k is 2-4): k matvecs + k preconditioner applications
+    + a (k+1) x k host-shaped least squares -- comparable FLOPs to a
+    degree-k Chebyshev sweep.
+    """
+    P = _as_prec(prec)
+    dot = dot or (lambda a, b: jnp.vdot(a, b).real)
+    r0 = b - A(x)
+    tiny = jnp.finfo(r0.dtype).tiny
+    beta = jnp.sqrt(dot(r0, r0))
+    scale = 1.0 / jnp.maximum(beta, tiny)
+    V = [r0 * scale]
+    Z = []
+    H = jnp.zeros((k + 1, k), r0.dtype)
+    for j in range(k):
+        z = P(V[j])
+        Z.append(z)
+        w = A(z)
+        for i in range(j + 1):
+            hij = dot(V[i], w)
+            w = w - hij * V[i]
+            H = H.at[i, j].set(hij)
+        hj1 = jnp.sqrt(dot(w, w))
+        H = H.at[j + 1, j].set(hj1)
+        V.append(w / jnp.maximum(hj1, tiny))
+    # least squares min || beta e1 - H y ||  via normal equations on the
+    # tiny (k+1) x k Hessenberg (well-conditioned for a smoother; k <= 4)
+    e1 = jnp.zeros((k + 1,), r0.dtype).at[0].set(beta)
+    G = H.T @ H + tiny * jnp.eye(k, dtype=r0.dtype)
+    y = jnp.linalg.solve(G, H.T @ e1)
+    y = jnp.where(jnp.isfinite(y), y, 0.0)
+    dx = sum(y[j] * Z[j] for j in range(k))
+    return x + dx
 
 
 def _chebyshev(A, prec, lmax, b, x, degree: int, lmin_ratio: float = 4.0):
@@ -185,7 +244,7 @@ def make_mg_vcycle(
     coarse_iters: int = 48,
     coarse_rtol: float = 5e-2,
     dtype=None,
-    smoother: str = "jacobi",
+    smoother: str = "gmres",
 ):
     """Build ``M(b) -> x`` : one V(smooth_degree, smooth_degree) cycle for the
     velocity block F at the current linearization.
@@ -199,8 +258,11 @@ def make_mg_vcycle(
     avoids the TPU's emulated-f64 cost; the result is cast back to the
     input dtype.
 
-    ``smoother``: "schwarz" (cell-block additive Schwarz -- strong for
-    high-order elements, the ILU-strength analog) or "jacobi" (pointwise).
+    ``smoother``: "gmres" (fixed-``smooth_degree``-step Jacobi-preconditioned
+    minimal-residual smoothing -- robust on the nonsymmetric NS-regime
+    block, the production default), "jacobi" (Chebyshev-Jacobi; SPD/Stokes
+    only -- diverges on convection-dominated operators), or "schwarz"
+    (cell-block additive Schwarz -- strong but costlier per sweep).
     """
     out_dtype = disc.dtype
     if dtype is not None and dtype != disc.dtype:
@@ -242,43 +304,70 @@ def make_mg_vcycle(
             )
         else:
             prec = 1.0 / diag
-        if lmax is None:
+        dotd = make_dot(d)
+        if lmax is None and smoother != "gmres":
             # Jacobi-normalized FEM spectra are essentially mesh-size
             # independent: estimate once on the finest level, reuse below
-            # (with headroom from the 1.1x window in _chebyshev).
-            lmax = _estimate_lmax(A, prec, (2,) + d.NV, d.dtype)
-        levels.append((d, A, prec, lmax, d.mg))
+            # (with headroom from the 1.1x window in _chebyshev).  The
+            # gmres smoother needs no spectral window.
+            lmax = _estimate_lmax(A, prec, (2,) + d.NV, d.dtype, dot=dotd)
+        levels.append((d, A, prec, lmax, d.mg, dotd))
         if d.mg is None:
             break
         edge = d.mg
         if u is not None and not stokes:
+            # state restriction is nodal evaluation of the (continuous)
+            # fine function at coarse nodes: tile-local exact, no comm
             u = jnp.einsum("Yy,cyx,Xx->cYX", edge.Evy, u, edge.Evx)
         d = edge.coarse
 
-    def restrict(edge: MGEdge, r):
-        return jnp.einsum("yY,cyx,xX->cYX", edge.Pvy, r, edge.Pvx)
+    def restrict(edge: MGEdge, d_fine: Disc, r):
+        # Transpose-interpolation restriction.  Under decomposition the
+        # seam rows/columns are duplicated in both tiles: weight them 1/2
+        # so per-tile partial sums add to the global value, then complete
+        # coarse seam entries with the standard ppermute seam exchange
+        # (the Trilinos compress(add) analog).
+        w = seam_weights(d_fine, d_fine.deg_v)
+        if w is not None:
+            r = r * w
+        rc = jnp.einsum("yY,cyx,xX->cYX", edge.Pvy, r, edge.Pvx)
+        return _seam_sum(edge.coarse, rc)
 
     def prolong(edge: MGEdge, x):
+        # nodal interpolation of a continuous coarse function: tile-local
         return jnp.einsum("Yy,cyx,Xx->cYX", edge.Pvy, x, edge.Pvx)
 
+    if smoother == "gmres":
+        smooth = lambda A, prec, lmax, b, x, dot: _gmres_smooth(
+            A, prec, b, x, smooth_degree, dot=dot
+        )
+    else:
+        smooth = lambda A, prec, lmax, b, x, dot: _chebyshev(
+            A, prec, lmax, b, x, smooth_degree
+        )
+
     def vcycle(li: int, b):
-        d, A, prec, lmax, edge = levels[li]
+        d, A, prec, lmax, edge, dot = levels[li]
         if li == len(levels) - 1:
-            x, _ = cg(
+            # CG is only valid on the SPD Stokes block; the NS-regime F is
+            # nonsymmetric (convection), so the coarse solve must be GMRES.
+            solver = cg if (stokes or state_u is None) else gmres
+            x, _ = solver(
                 A,
                 b,
                 jnp.zeros_like(b),
-                tol=coarse_rtol * jnp.sqrt(jnp.vdot(b, b).real),
+                tol=coarse_rtol * jnp.sqrt(dot(b, b)),
                 maxiter=coarse_iters,
                 M=_as_prec(prec),
+                dot=dot,
             )
             return x
-        x = _chebyshev(A, prec, lmax, b, jnp.zeros_like(b), smooth_degree)
+        x = smooth(A, prec, lmax, b, jnp.zeros_like(b), dot)
         r = _zero_constrained(d, b - A(x))
-        bc = _zero_constrained(edge.coarse, restrict(edge, r))
+        bc = _zero_constrained(edge.coarse, restrict(edge, d, r))
         xc = vcycle(li + 1, bc)
         x = x + _zero_constrained(d, prolong(edge, xc))
-        return _chebyshev(A, prec, lmax, b, x, smooth_degree)
+        return smooth(A, prec, lmax, b, x, dot)
 
     def M(b):
         x = vcycle(0, b.astype(disc.dtype))

@@ -21,7 +21,7 @@ def test_M_flag_switches_degrees():
     from navier_stokes_solver_tpu.api import NSSolverStationary
 
     o = parse_options(["-M"], unsteady=False)
-    assert o.read_mesh_from_file
+    assert o.read_mesh_from_file and o.mesh_file_name == ""
     # the degree switch (test.cpp:66-70) happens at solver construction
     s = NSSolverStationary(o)
     assert s.options.degree_velocity == 2 and s.options.degree_pressure == 1
@@ -68,9 +68,11 @@ def test_stationary_cli_with_mesh_file(tmp_path, capsys, monkeypatch):
     from navier_stokes_solver_tpu.api import NSSolverStationary
     from navier_stokes_solver_tpu.cli.common import parse_options
 
-    opts = parse_options(["-M", "-r", "5", "-t", "1e-6", "-p", "2", "--quiet"],
-                         unsteady=False)
-    opts.mesh_file_name = str(path)
+    opts = parse_options(
+        ["-M", str(path), "-r", "5", "-t", "1e-6", "-p", "2", "--quiet"],
+        unsteady=False,
+    )
+    assert opts.read_mesh_from_file and opts.mesh_file_name == str(path)
     s = NSSolverStationary(opts)
     s.setup()
     assert s.space is None  # simplex backend selected

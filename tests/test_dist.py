@@ -75,6 +75,42 @@ def test_dist_step_matches_single_chip(n_dev):
     np.testing.assert_allclose(float(tsd.lift[0]), float(ts.lift), atol=1e-7)
 
 
+@pytest.mark.parametrize("dd", [(4, 1), (4, 2)])
+def test_dist_stationary_solve_matches_single_chip(dd):
+    """Full distributed stationary solve_newton (the reference's benchmarked
+    configuration, NSSolverStationary.cpp:579-647 under MPI) with the
+    decomposition-aware multigrid chain active under the tiles."""
+    from navier_stokes_solver_tpu.api import NSSolverStationary
+    from navier_stokes_solver_tpu.api.base import SolverOptions
+    from navier_stokes_solver_tpu.precond.mg import mg_level_shapes
+
+    common = dict(
+        mesh_size=(32, 12), Re=30.0, solver_type=1, tolerance=1e-10,
+        preconditioner_type=1, verbose=False,
+    )
+    s1 = NSSolverStationary(SolverOptions(**common)).setup()
+    s1.solve_newton()
+    s1.compute_lift_drag()
+    u1, p1 = s1.fields()
+
+    s2 = NSSolverStationary(SolverOptions(**common, dd=dd)).setup()
+    tile = jax.tree_util.tree_map(lambda a: a[0], s2.disc)
+    assert len(mg_level_shapes(tile)) >= 2  # MG chain active under tiles
+    s2.solve_newton()
+    s2.compute_lift_drag()
+    u2, p2 = s2.fields()
+
+    np.testing.assert_allclose(u2, u1, atol=1e-8)
+    np.testing.assert_allclose(p2, p1, atol=1e-7)
+    np.testing.assert_allclose(s2.drag_force, s1.drag_force, atol=1e-8)
+    # iteration counts are a first-class observable (solve_system prints
+    # them, NSSolver.cpp:670); decomposition must not degrade them
+    it1 = [h["krylov_iters"] for h in s1.history if "krylov_iters" in h]
+    it2 = [h["krylov_iters"] for h in s2.history if "krylov_iters" in h]
+    assert len(it1) == len(it2)
+    assert sum(it2) <= sum(it1) * 1.1 + 5
+
+
 def test_seam_weighted_dot_matches_global():
     from navier_stokes_solver_tpu.ops.matfree import make_dot
 
