@@ -56,7 +56,7 @@ def assemble_kernel(disc, nu, inv_dt, st: Blocks, u_old, inlet_amp, *, stokes):
     jax.jit,
     static_argnames=(
         "stokes", "solver_type", "prec_type", "variant", "maxiter",
-        "project_x0", "precond_cfg",
+        "project_x0", "precond_cfg", "basis",
     ),
 )
 def solve_kernel(
@@ -76,6 +76,7 @@ def solve_kernel(
     maxiter: int,
     project_x0: bool = True,
     precond_cfg=None,
+    basis: int = 30,
 ):
     """One tangent solve (NSSolver::solve_system, NSSolver.cpp:601-672).
 
@@ -111,7 +112,10 @@ def solve_kernel(
     else:
         x0 = delta_prev
 
-    delta, info = _SOLVERS[solver_type](A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
+    kw = {} if solver_type == 2 else {"basis": basis}  # bicgstab: no basis
+    delta, info = _SOLVERS[solver_type](
+        A, rhs, x0, tol=tol, maxiter=maxiter, M=M, **kw
+    )
     return delta, info
 
 

@@ -159,7 +159,8 @@ class NSSolver(NSSolverBase):
     # ------------------------------------------------------------------
     def solve_fused(self, *, newton_max: int | None = None,
                     newton_tol: float | None = None,
-                    krylov_maxiter: int = 2000):
+                    krylov_maxiter: int = 2000,
+                    chunk_steps: int | None = None):
         """Fully on-device time loop (performance path).
 
         The whole run -- every implicit-Euler step with its Newton loop,
@@ -210,7 +211,7 @@ class NSSolver(NSSolverBase):
         )
         self.nu = 1.0 / eff_re
         final, hist = run_time_loop(
-            step, ts0, self.nu, o.time_step, n_steps
+            step, ts0, self.nu, o.time_step, n_steps, chunk=chunk_steps
         )
         self.solution = final.solution
         self.time = float(final.time)

@@ -105,17 +105,23 @@ def _decomposed_mg_chain(
     from navier_stokes_solver_tpu.ops.disc import MGEdge, make_disc
     from navier_stokes_solver_tpu.precond.mg import _interp_1d
 
+    from navier_stokes_solver_tpu.precond.mg import _coarse_shape
+
     tables = make_taylor_hood(disc.deg_v, disc.deg_p, disc.n_q1d)
     nodes = tables.nodes_v
     deg = disc.deg_v
     dtype = disc.dtype
     n_tiles = n_dev * n_dev_y
+    # fixed physical tile extent (aspect-aware semi-coarsening, see
+    # precond.mg._coarse_shape)
+    Wt = disc.hx * disc.nx / n_dev
+    Ht = disc.hy * disc.ny / n_dev_y
 
     def stack(mat):
         return jnp.asarray(np.broadcast_to(mat, (n_tiles,) + mat.shape), dtype)
 
     def build(nxl: int, nyl: int, level: int):
-        nxl_c, nyl_c = -(-nxl // 2), -(-nyl // 2)
+        nxl_c, nyl_c = _coarse_shape(nxl, nyl, Wt / nxl, Ht / nyl)
         nx_c, ny_c = nxl_c * n_dev, nyl_c * n_dev_y
         if (
             level >= max_levels

@@ -117,10 +117,11 @@ class DistKernels:
         maxiter,
         project_x0=True,
         precond_cfg=None,
+        basis=30,
     ):
         key = (
             "solve", stokes, solver_type, prec_type, variant, maxiter,
-            project_x0, precond_cfg,
+            project_x0, precond_cfg, basis,
         )
         if key not in self._jit_cache:
 
@@ -154,9 +155,10 @@ class DistKernels:
                 else:
                     x0 = delta_prev
 
+                kw = {} if solver_type == 2 else {"basis": basis}
                 delta, info = _SOLVERS[solver_type](
                     A, rhs, x0, tol=tol, maxiter=maxiter, M=M,
-                    dot=make_dot(disc),
+                    dot=make_dot(disc), **kw
                 )
                 return _stack(delta), info
 

@@ -44,14 +44,23 @@ def write_vtu(
     path: str,
     *,
     partitioning: np.ndarray | None = None,
+    cell_range: tuple[int, int, int, int] | None = None,
 ) -> str:
-    geo = space.geo
-    ny, nx = geo.ny, geo.nx
-    act = geo.cell_active
+    """Write one VTU piece.
 
-    # vertex lattice (corners)
-    xs = geo.x0 + np.arange(nx + 1) * geo.hx
-    ys = geo.y0 + np.arange(ny + 1) * geo.hy
+    ``cell_range = (y0, y1, x0, x1)``: restrict to that cell sub-rectangle
+    (a decomposition tile); vertex lattices of adjacent pieces share their
+    seam row/column, matching deal.II's per-rank pieces without ghost
+    cells.  Default: the whole grid as one piece.
+    """
+    geo = space.geo
+    y0c, y1c, x0c, x1c = cell_range or (0, geo.ny, 0, geo.nx)
+    ny, nx = y1c - y0c, x1c - x0c
+    act = geo.cell_active[y0c:y1c, x0c:x1c]
+
+    # vertex lattice (corners) of the sub-rectangle
+    xs = geo.x0 + (x0c + np.arange(nx + 1)) * geo.hx
+    ys = geo.y0 + (y0c + np.arange(ny + 1)) * geo.hy
     X, Y = np.meshgrid(xs, ys)
     n_pts = (nx + 1) * (ny + 1)
     points = np.zeros((n_pts, 3))
@@ -71,14 +80,20 @@ def write_vtu(
     types = np.full(n_cells, 9, dtype=np.uint8)  # VTK_QUAD
 
     u_c, p_c = _corner_fields(space, np.asarray(u), np.asarray(p))
+    u_c = u_c[:, y0c : y1c + 1, x0c : x1c + 1]
+    p_c = p_c[y0c : y1c + 1, x0c : x1c + 1]
     vel = np.zeros((n_pts, 3))
     vel[:, 0] = u_c[0].ravel()
     vel[:, 1] = u_c[1].ravel()
     pres = p_c.ravel()
     if partitioning is None:
         partitioning = np.zeros(n_cells)
+    elif np.ndim(partitioning) == 0:
+        partitioning = np.full(n_cells, float(partitioning))
     else:
-        partitioning = np.asarray(partitioning, dtype=np.float64)[act]
+        partitioning = np.asarray(partitioning, dtype=np.float64)[
+            y0c:y1c, x0c:x1c
+        ][act]
 
     # C++ fast path (native/), same file layout; fall back to pure Python.
     from navier_stokes_solver_tpu.native import write_vtu_native
@@ -235,14 +250,40 @@ def write_vtu_record(
     basename: str = "output",
     counter: int = 0,
     partitioning: np.ndarray | None = None,
+    tiles: tuple[int, int] | None = None,
 ) -> str:
-    """Write ``output_NNN.0.vtu`` + matching ``.pvtu`` record (3-digit
-    grouping, NSSolver.cpp:789-793)."""
+    """Write per-piece ``output_NNN.R.vtu`` files + the ``.pvtu`` master
+    record (3-digit grouping, NSSolver.cpp:789-793).
+
+    ``tiles = (x_tiles, y_tiles)``: one piece per decomposition tile (the
+    reference writes one piece per MPI rank) with ``partitioning`` = tile
+    id (DataOut partitioning field, NSSolver.cpp:781-784).  Default: one
+    piece, partitioning zero (a single-rank run).
+    """
     os.makedirs(directory, exist_ok=True)
-    piece = f"{basename}_{counter:03d}.0.vtu"
-    write_vtu(
-        space, u, p, os.path.join(directory, piece), partitioning=partitioning
-    )
+    geo = space.geo
+    n_x, n_y = tiles or (1, 1)
+    nxl, nyl = geo.nx // n_x, geo.ny // n_y
+    pieces = []
+    for iy in range(n_y):
+        for ix in range(n_x):
+            rank = iy * n_x + ix
+            piece = f"{basename}_{counter:03d}.{rank}.vtu"
+            pieces.append(piece)
+            write_vtu(
+                space,
+                u,
+                p,
+                os.path.join(directory, piece),
+                partitioning=(
+                    float(rank) if tiles is not None else partitioning
+                ),
+                cell_range=(
+                    None
+                    if tiles is None
+                    else (iy * nyl, (iy + 1) * nyl, ix * nxl, (ix + 1) * nxl)
+                ),
+            )
     pvtu = os.path.join(directory, f"{basename}_{counter:03d}.pvtu")
     with open(pvtu, "w") as f:
         f.write(
@@ -263,7 +304,9 @@ def write_vtu_record(
                     "<PCellData>",
                     '<PDataArray type="Float64" Name="partitioning"/>',
                     "</PCellData>",
-                    f'<Piece Source="{piece}"/>',
+                ]
+                + [f'<Piece Source="{pc}"/>' for pc in pieces]
+                + [
                     "</PUnstructuredGrid>",
                     "</VTKFile>",
                 ]

@@ -148,6 +148,26 @@ def _gmres_core(
             V, Z, R, cs, sn, g, j, it, res, done = c
             return (~done) & (j < basis) & (it < maxiter)
 
+        # Batched CGS2 orthogonalization: all <v_i, w> in ONE contraction
+        # over the stacked basis (rows beyond j are zero vectors, so their
+        # coefficients vanish without masking), then one rank-1-stack
+        # update, repeated once for stability (classical Gram-Schmidt with
+        # reorthogonalization).  Sequential modified Gram-Schmidt costs
+        # O(j) dependent reductions per iteration -- measured ~10x the
+        # per-iteration wall at basis 100 in emulated f64 on TPU; CGS2 is
+        # two MXU-shaped contractions.
+        dotb = jax.vmap(dot, in_axes=(0, None))
+
+        def orth_pass(V, w):
+            h = dotb(V, w)  # [basis+1]
+            w = jax.tree_util.tree_map(
+                lambda wl, Vl: wl
+                - jnp.tensordot(h, Vl, axes=[[0], [0]]).astype(wl.dtype),
+                w,
+                V,
+            )
+            return w, h
+
         def arnoldi_body(c):
             V, Z, R, cs, sn, g, j, it, res, done = c
             vj = _get(V, j)
@@ -159,14 +179,9 @@ def _gmres_core(
                 Z_new = Z
                 w = M(matvec(vj))
 
-            # modified Gram-Schmidt against v_0..v_j
-            def mgs(i, carry):
-                w, col = carry
-                vi = _get(V, i)
-                h = dot(vi, w)
-                return tsub(w, tscale(h, vi)), col.at[i].set(h)
-
-            w, col = lax.fori_loop(0, j + 1, mgs, (w, jnp.zeros(basis + 1, dtype)))
+            w, h1 = orth_pass(V, w)
+            w, h2 = orth_pass(V, w)
+            col = (h1 + h2).astype(dtype)
             hj1 = nrm(w)
             col = col.at[j + 1].set(hj1)
             V_new = _set(V, j + 1, tscale(1.0 / jnp.maximum(hj1, _EPS_BREAKDOWN), w))
@@ -221,11 +236,16 @@ def _gmres_core(
         y = jax.scipy.linalg.solve_triangular(Rj, gj, lower=False)
         y = jnp.where(jnp.isfinite(y), y, 0.0)
 
-        def update(i, x):
-            src = _get(Z, i) if flexible else _get(V, i)
-            return taxpy(y[i], src, x)
-
-        x_new = lax.fori_loop(0, j, update, x)
+        # x += sum_i y_i (Z|V)_i as one stacked contraction (y is zero
+        # beyond j by construction)
+        src = Z if flexible else V
+        yk = y if flexible else jnp.concatenate([y, jnp.zeros((1,), dtype)])
+        x_new = jax.tree_util.tree_map(
+            lambda xl, Sl: xl
+            + jnp.tensordot(yk, Sl, axes=[[0], [0]]).astype(xl.dtype),
+            x,
+            src,
+        )
         return x_new, iters, res, done
 
     # initial convergence check (deal.II SolverControl step 0)

@@ -70,11 +70,27 @@ def _interp_1d(n_src: int, n_dst: int, deg: int, nodes: np.ndarray) -> np.ndarra
     return P
 
 
+def _coarse_shape(nx: int, ny: int, hx: float, hy: float) -> tuple[int, int]:
+    """Aspect-aware (semi-)coarsening: halve only the direction with the
+    smaller cell size while the anisotropy exceeds 1.5x, both otherwise.
+
+    Point-smoothed MG degrades on anisotropic cells (the bench channel has
+    hx/hy = 3.76 at 100x70): errors are smooth only along the
+    strongly-coupled (small-h) direction, so that is the direction safe to
+    coarsen until the grid is roughly isotropic -- the classic
+    semi-coarsening cure."""
+    if hy < hx / 1.5:
+        return nx, -(-ny // 2)
+    if hx < hy / 1.5:
+        return -(-nx // 2), ny
+    return -(-nx // 2), -(-ny // 2)
+
+
 def attach_mg(
     disc: Disc,
     *,
     min_cells: int = 48,
-    max_levels: int = 6,
+    max_levels: int = 8,
     geo_kwargs: dict | None = None,
 ) -> Disc:
     """Attach a multigrid chain to ``disc`` (single-tile only).
@@ -89,9 +105,10 @@ def attach_mg(
     nodes = tables.nodes_v
     deg = disc.deg_v
     dtype = disc.dtype
+    W, H = disc.hx * disc.nx, disc.hy * disc.ny
 
     def build(nx: int, ny: int, level: int) -> MGEdge | None:
-        nxc, nyc = -(-nx // 2), -(-ny // 2)  # ceil halving
+        nxc, nyc = _coarse_shape(nx, ny, W / nx, H / ny)
         if level >= max_levels or nxc * nyc < min_cells or nyc < 2:
             return None
         geo_c = make_channel_geometry(nxc, nyc, **geo_kwargs)

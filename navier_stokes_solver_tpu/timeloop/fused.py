@@ -266,16 +266,46 @@ def make_stokes_init(
     return init
 
 
-def run_time_loop(step_fn, ts0: TimeState, nu, dt, n_steps: int):
-    """Run ``n_steps`` implicit-Euler steps as one ``lax.scan``; streams
-    per-step (drag, lift, newton_iters, krylov_iters)."""
+def run_time_loop(
+    step_fn, ts0: TimeState, nu, dt, n_steps: int, *, chunk: int | None = None
+):
+    """Run ``n_steps`` implicit-Euler steps as ``lax.scan``s; streams
+    per-step (drag, lift, newton_iters, krylov_iters).
+
+    ``chunk``: steps per device call.  The TPU runtime kills single XLA
+    executions running longer than a few minutes; chunking bounds the
+    per-call device time with host-carried state between calls --
+    *bitwise* identical to one long scan (the chunk boundary only cuts the
+    scan carry, it does not change any step's computation).  At most two
+    programs compile (the chunk length and one remainder).  None = one
+    scan over all steps.
+    """
 
     def body(ts, _):
         ts = step_fn(ts, nu, dt)
         out = (ts.drag, ts.lift, ts.stats.newton_iters, ts.stats.krylov_iters)
         return ts, out
 
-    final, (drag, lift, ni, ki) = lax.scan(body, ts0, None, length=n_steps)
+    def scan_k(ts, k):
+        return lax.scan(body, ts, None, length=k)
+
+    if chunk is None or chunk >= n_steps:
+        final, (drag, lift, ni, ki) = scan_k(ts0, n_steps)
+    else:
+        ts = ts0
+        outs = []
+        remaining = n_steps
+        while remaining > 0:
+            k = min(chunk, remaining)
+            ts, out = scan_k(ts, k)
+            # block so one device call retires before the next dispatch
+            jax.block_until_ready(ts.time)
+            outs.append(out)
+            remaining -= k
+        final = ts
+        drag, lift, ni, ki = (
+            jnp.concatenate([o[i] for o in outs]) for i in range(4)
+        )
     return final, {
         "drag": drag,
         "lift": lift,

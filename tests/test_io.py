@@ -32,6 +32,33 @@ def test_vtu_record(tmp_path):
     assert "partitioning" in content
 
 
+def test_vtu_per_tile_pieces(tmp_path):
+    """One piece per decomposition tile + pvtu master + tile-id
+    partitioning (parity with DataOut::write_vtu_with_pvtu_record one
+    piece per rank, NSSolver.cpp:781-793)."""
+    space = _space()
+    u = np.random.default_rng(0).standard_normal((2, space.NVy, space.NVx))
+    p = np.random.default_rng(1).standard_normal((space.NPy, space.NPx))
+    pvtu = write_vtu_record(
+        space, u, p, directory=str(tmp_path), counter=3, tiles=(4, 2)
+    )
+    content = open(pvtu).read()
+    for rank in range(8):
+        piece = os.path.join(str(tmp_path), f"output_003.{rank}.vtu")
+        assert os.path.exists(piece)
+        assert f"output_003.{rank}.vtu" in content
+    # cell counts across pieces sum to the active-cell total
+    import re
+
+    total = 0
+    for rank in range(8):
+        piece = open(
+            os.path.join(str(tmp_path), f"output_003.{rank}.vtu")
+        ).read()
+        total += int(re.search(r'NumberOfCells="(\d+)"', piece).group(1))
+    assert total == int(space.geo.n_active_cells)
+
+
 def test_msh_roundtrip(tmp_path):
     geo = make_channel_geometry(16, 8)
     path = str(tmp_path / "mesh.msh")

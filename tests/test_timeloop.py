@@ -55,3 +55,24 @@ def test_run_time_loop_streams_history():
     assert hist["drag"].shape == (3,)
     assert np.all(np.isfinite(np.asarray(hist["drag"])))
     assert np.all(np.isfinite(np.asarray(hist["lift"])))
+
+
+def test_run_time_loop_chunked_bitwise_equal():
+    """Host-chunked fused loop == one long scan, bitwise: the chunk
+    boundary only cuts the scan carry (device-call budget guard for long
+    runs; the chunked-FGMRES equivalence cousin)."""
+    disc = _disc(16, 8)
+    step = make_time_step(
+        disc, solver_type=1, prec_type=1, tol=1e-8, newton_max=3, krylov_maxiter=200
+    )
+    f1, h1 = run_time_loop(step, initial_state(disc), 0.01, 0.01, 5)
+    f2, h2 = run_time_loop(step, initial_state(disc), 0.01, 0.01, 5, chunk=2)
+    np.testing.assert_array_equal(np.asarray(h1["drag"]), np.asarray(h2["drag"]))
+    np.testing.assert_array_equal(np.asarray(h1["lift"]), np.asarray(h2["lift"]))
+    np.testing.assert_array_equal(
+        np.asarray(f1.solution.u), np.asarray(f2.solution.u)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f1.solution.p), np.asarray(f2.solution.p)
+    )
+    assert int(f2.step) == 5
