@@ -193,8 +193,7 @@ class NSSolver(NSSolverBase):
             )
         o = self.options
         n_steps = int(round(o.time_span / o.time_step))
-        step = make_time_step(
-            self.disc,
+        kw = dict(
             solver_type=o.solver_type,
             prec_type=o.preconditioner_type,
             tol=o.tolerance,
@@ -202,7 +201,18 @@ class NSSolver(NSSolverBase):
             newton_tol=newton_tol or self.NEWTON_TOL,
             krylov_maxiter=krylov_maxiter,
         )
-        ts0 = initial_state(self.disc)._replace(solution=self.solution)
+        if self.dist_mesh is not None:
+            # whole fused step inside shard_map over the device mesh
+            from navier_stokes_solver_tpu.dist import (
+                init_dist_state,
+                make_dist_time_step,
+            )
+
+            step = make_dist_time_step(self.disc, self.dist_mesh, **kw)
+            ts0 = init_dist_state(self.disc)._replace(solution=self.solution)
+        else:
+            step = make_time_step(self.disc, **kw)
+            ts0 = initial_state(self.disc)._replace(solution=self.solution)
         # the reference's per-step ramp current_Re = 1, 11, 21, ... never
         # exceeds the target, so its final (effective) viscosity is
         # 1 / (1 + 10 k) (NSSolver.cpp:684-687); reproduce that here
@@ -213,25 +223,31 @@ class NSSolver(NSSolverBase):
         final, hist = run_time_loop(
             step, ts0, self.nu, o.time_step, n_steps, chunk=chunk_steps
         )
-        self.solution = final.solution
-        self.time = float(final.time)
-        self.time_step_index = int(final.step)
-        self.drag_force = float(final.drag)
-        self.lift_force = float(final.lift)
-        self.compute_drag_coeff()
-        self.compute_lift_coeff()
         import numpy as np
 
+        # under dd every scalar is tile-stacked with identical (psum'd)
+        # values; read entry 0
+        scal = lambda a: float(np.ravel(np.asarray(a))[0])
+        col = lambda a: np.asarray(a).reshape(n_steps, -1)[:, 0]
+        self.solution = final.solution
+        self.time = scal(final.time)
+        self.time_step_index = int(np.ravel(np.asarray(final.step))[0])
+        self.drag_force = scal(final.drag)
+        self.lift_force = scal(final.lift)
+        self.compute_drag_coeff()
+        self.compute_lift_coeff()
+        drag, lift = col(hist["drag"]), col(hist["lift"])
+        ni, ki = col(hist["newton_iters"]), col(hist["krylov_iters"])
         for i in range(n_steps):
             self.history.append(
                 dict(
                     phase="step",
                     time=(i + 1) * o.time_step,
                     step=i + 1,
-                    drag_force=float(np.asarray(hist["drag"])[i]),
-                    lift_force=float(np.asarray(hist["lift"])[i]),
-                    newton_iters=int(np.asarray(hist["newton_iters"])[i]),
-                    krylov_iters=int(np.asarray(hist["krylov_iters"])[i]),
+                    drag_force=float(drag[i]),
+                    lift_force=float(lift[i]),
+                    newton_iters=int(ni[i]),
+                    krylov_iters=int(ki[i]),
                 )
             )
         return hist

@@ -73,6 +73,14 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
         metavar="N",
         help="0: blockDiagonal, 1: blockTriangular, 2: aSIMPLE",
     )
+    p.add_argument(
+        "--dd",
+        default="",
+        metavar="X[,Y]",
+        help="domain-decompose over X x Y device-mesh tiles (the analog "
+        "of the reference's 'mpiexec -n N', run_sim_steady.sh:24); "
+        "default: single device",
+    )
     p.add_argument("--output", action="store_true", help="write VTU snapshots")
     p.add_argument("--output-dir", default=".", metavar="DIR")
     p.add_argument("--quiet", action="store_true")
@@ -137,6 +145,11 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
         import jax.numpy as jnp
 
         opts.dtype = jnp.float32
+    if args.dd:
+        if "," in args.dd:
+            opts.dd = _pair(args.dd, int, "dd")
+        else:
+            opts.dd = (int(args.dd), 1)
     return opts
 
 
