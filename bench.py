@@ -40,6 +40,13 @@ def main():
         tolerance=1e-12,
         preconditioner_type=1,  # blockTriangular
         verbose=bool(os.environ.get("NSTPU_BENCH_VERBOSE")),
+        # perf-tuned restart depth (docs/PERF.md): the mass-Schur
+        # preconditioned saddle system needs a Krylov space deeper than
+        # the deal.II-default 30-vector restart; measured at this config
+        # the first Stokes tangent solve drops 973 -> 399 outer
+        # iterations and 60 -> 45 s wall.  Fields are identical (same
+        # operator, same tolerance); SolverOptions default stays 30.
+        krylov_basis=60,
     )
     # The axon TPU worker occasionally dies mid-run ("kernel fault" /
     # UNAVAILABLE) and recovers after a few minutes; retry once from

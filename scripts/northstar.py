@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""North-star measurements (BASELINE.json): per-time-step wall clock and
+Krylov iterations for the unsteady 300x100 Re=100 run (fused on-device
+steps, host-chunked for the TPU per-call budget), plus the stationary
+300x100 FGMRES+aSIMPLE config.
+
+Usage:
+  python scripts/northstar.py unsteady [--mesh 300,100] [--steps 10]
+  python scripts/northstar.py stationary [--mesh 300,100] [--tol 1e-10]
+
+Prints one JSON line per run; append to PERF_NORTHSTAR.json manually or
+via --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def setup_jax():
+    os.environ.setdefault("NSTPU_CACHE_DIR", "/tmp/nstpu_jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["NSTPU_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
+
+
+def run_unsteady(args):
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from navier_stokes_solver_tpu.geometry import (
+        make_channel_geometry,
+        make_fe_space,
+    )
+    from navier_stokes_solver_tpu.ops import make_disc
+    from navier_stokes_solver_tpu.precond.mg import attach_mg
+    from navier_stokes_solver_tpu.timeloop import (
+        initial_state,
+        make_stokes_init,
+        make_time_step,
+        run_time_loop,
+    )
+
+    mx, my = (int(v) for v in args.mesh.split(","))
+    geo = make_channel_geometry(mx, my)
+    space = make_fe_space(geo, 3, 2)
+    disc = attach_mg(make_disc(space))
+    n_dofs = space.n_dofs
+    # the reference ramp for Re=100 tops out at nu = 1/91 (NSSolver.cpp:684)
+    nu, dt = 1.0 / 91.0, 0.01
+
+    step = make_time_step(
+        disc,
+        solver_type=1,
+        prec_type=1,
+        tol=args.tol,
+        newton_max=10,
+        krylov_maxiter=args.krylov_maxiter,
+    )
+    ts = initial_state(disc)
+
+    # cold start: one Stokes init solve (the reference's first-iteration
+    # Stokes-with-BC solve, NSSolver.cpp:695-706)
+    t0 = time.perf_counter()
+    init = make_stokes_init(
+        disc, solver_type=1, prec_type=1, tol=args.tol,
+        krylov_maxiter=args.krylov_maxiter,
+    )
+    sol0 = init(nu)
+    jax.block_until_ready(sol0.u)
+    t_init = time.perf_counter() - t0
+    ts = ts._replace(solution=sol0)
+
+    # one step to compile + warm, then timed steps (1 device call per step)
+    t0 = time.perf_counter()
+    ts, _ = run_time_loop(step, ts, nu, dt, 1)
+    jax.block_until_ready(ts.solution.u)
+    t_compile_step = time.perf_counter() - t0
+
+    per_step = []
+    iters = []
+    newts = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        ts, h = run_time_loop(step, ts, nu, dt, 1)
+        jax.block_until_ready(ts.solution.u)
+        per_step.append(time.perf_counter() - t0)
+        iters.append(int(jnp.ravel(h["krylov_iters"])[0]))
+        newts.append(int(jnp.ravel(h["newton_iters"])[0]))
+
+    per_step_sorted = sorted(per_step)
+    median = per_step_sorted[len(per_step) // 2]
+    out = {
+        "metric": f"unsteady_per_step_wallclock_{mx}x{my}_Q3Q2_Re100_fused",
+        "value": round(median, 3),
+        "unit": "s/step",
+        "extra": {
+            "n_dofs": n_dofs,
+            "steps_timed": args.steps,
+            "per_step_s": [round(v, 3) for v in per_step],
+            "krylov_iters_per_step": iters,
+            "newton_iters_per_step": newts,
+            "stokes_init_s": round(t_init, 1),
+            "first_step_s_incl_compile": round(t_compile_step, 1),
+            "dof_step_throughput_per_s": round(n_dofs / median, 1),
+            "drag_force": float(ts.drag),
+            "lift_force": float(ts.lift),
+            "tol": args.tol,
+        },
+    }
+    print(json.dumps(out))
+    return out
+
+
+def run_stationary(args):
+    setup_jax()
+    from navier_stokes_solver_tpu.api import NSSolverStationary, SolverOptions
+
+    mx, my = (int(v) for v in args.mesh.split(","))
+    opts = SolverOptions(
+        mesh_size=(mx, my),
+        Re=100.0,
+        solver_type=1,
+        tolerance=args.tol,
+        preconditioner_type=2,  # aSIMPLE (BASELINE config 2)
+        verbose=True,
+        krylov_basis=60,
+    )
+    s = NSSolverStationary(opts)
+    s.setup()
+    t0 = time.perf_counter()
+    s.solve_newton()
+    elapsed = time.perf_counter() - t0
+    s.compute_lift_drag()
+    s.compute_drag_coeff()
+    total_k = sum(h.get("krylov_iters", 0) for h in s.history)
+    out = {
+        "metric": f"stationary_solve_wallclock_{mx}x{my}_Q3Q2_FGMRES_aSIMPLE_tol{args.tol:g}_Re100",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "extra": {
+            "n_dofs": s.n_dofs,
+            "total_krylov_iters": total_k,
+            "drag_coeff": s.drag_coeff,
+        },
+    }
+    print(json.dumps(out))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["unsteady", "stationary"])
+    ap.add_argument("--mesh", default="300,100")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--tol", type=float, default=1e-9)
+    ap.add_argument("--krylov-maxiter", type=int, default=600)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+    out = run_unsteady(args) if args.which == "unsteady" else run_stationary(args)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(out) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -43,6 +43,13 @@ def main(argv=None):
     ap.add_argument("--csv", default="performance_log_tpu.csv")
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--no-multigrid", action="store_true")
+    ap.add_argument(
+        "--dd", default="",
+        help="X[,Y] domain-decomposition tiles (the reference's mpiexec -n "
+        "analog); 'proc' in the CSV becomes X*Y",
+    )
+    ap.add_argument("--basis", type=int, default=30,
+                    help="outer GMRES/FGMRES restart basis")
     args = ap.parse_args(argv)
 
     import jax
@@ -56,7 +63,11 @@ def main(argv=None):
 
     dim_x, dim_y = (int(v) for v in args.mesh.split(","))
     deg_v, deg_p = (int(v) for v in args.degrees.split(","))
-    n_proc = len(jax.devices())
+    dd = None
+    if args.dd:
+        parts = [int(v) for v in args.dd.split(",")]
+        dd = (parts[0], parts[1] if len(parts) > 1 else 1)
+    n_proc = dd[0] * dd[1] if dd else 1
 
     new_file = not os.path.exists(args.csv)
     with open(args.csv, "a", newline="") as f:
@@ -75,6 +86,8 @@ def main(argv=None):
                 preconditioner_type=args.prec,
                 multigrid=not args.no_multigrid,
                 verbose=False,
+                dd=dd,
+                krylov_basis=args.basis,
             )
             timer = PhaseTimer()
             if args.unsteady:
