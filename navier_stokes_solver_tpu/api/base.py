@@ -176,6 +176,16 @@ class NSSolverBase:
         self.solution = zero
         self.solution_old = zero
         self.delta = zero  # persistent delta_owned (warm start semantics)
+        # assembly / lift-drag do not touch the MG chain: strip it from
+        # their kernel inputs (less per-call marshalling, and their
+        # compiled programs stay valid when the chain layout changes)
+        from navier_stokes_solver_tpu.ops.disc import Disc as _StructDisc
+
+        self.disc_nomg = (
+            self.disc.replace(mg=None)
+            if isinstance(self.disc, _StructDisc) and self.disc.mg is not None
+            else self.disc
+        )
         self._is_setup = True
         self.setup_seconds = _time.perf_counter() - t0
         return self
@@ -222,7 +232,7 @@ class NSSolverBase:
         """Assemble rhs = -R with BC; returns its l2 norm."""
         with self.timer.phase("assemble"):
             self.rhs, rn = self.K.assemble_kernel(
-                self.disc,
+                self.disc_nomg,
                 self.nu,
                 self.inv_dt,
                 self.solution,
@@ -304,7 +314,7 @@ class NSSolverBase:
         self.log("Computing lift and drag forces")
         with self.timer.phase("lift_drag"):
             drag, lift = self.K.lift_drag_kernel(
-                self.disc, self.nu, self.solution
+                self.disc_nomg, self.nu, self.solution
             )
         self.drag_force = float(drag)
         self.lift_force = float(lift)
