@@ -111,6 +111,33 @@ def test_dist_stationary_solve_matches_single_chip(dd):
     assert sum(it2) <= sum(it1) * 1.1 + 5
 
 
+def test_solve_fused_dd_matches_single():
+    """API-level fused unsteady run under SolverOptions.dd: the shard_map
+    time step must reproduce the single-device fused run."""
+    from navier_stokes_solver_tpu.api import NSSolver
+    from navier_stokes_solver_tpu.api.base import SolverOptions
+
+    common = dict(
+        mesh_size=(32, 12), Re=10.0, solver_type=1, tolerance=1e-9,
+        preconditioner_type=1, time_span=0.02, time_step=0.01,
+        verbose=False, degree_velocity=2, degree_pressure=1,
+    )
+    s1 = NSSolver(SolverOptions(**common)).setup()
+    s1.solve_fused()
+    u1, p1 = s1.fields()
+    s2 = NSSolver(SolverOptions(**common, dd=(4, 1))).setup()
+    s2.solve_fused()
+    u2, p2 = s2.fields()
+    np.testing.assert_allclose(u2, u1, atol=1e-6)
+    np.testing.assert_allclose(p2, p1, atol=1e-4)
+    np.testing.assert_allclose(s2.drag_force, s1.drag_force, atol=1e-6)
+    assert s2.time_step_index == 2
+    steps = [h for h in s2.history if h.get("phase") == "step"]
+    assert len(steps) == 2 and all(
+        np.isfinite(h["drag_force"]) for h in steps
+    )
+
+
 def test_seam_weighted_dot_matches_global():
     from navier_stokes_solver_tpu.ops.matfree import make_dot
 
