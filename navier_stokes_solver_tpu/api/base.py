@@ -127,6 +127,10 @@ class NSSolverBase:
                 nodes, tri, bedges, btags = triangulate_channel(self.geo)
             self.space = None
             self.disc = make_simplex_disc(nodes, tri, bedges, btags, o.dtype)
+            if o.multigrid:
+                # P2 -> P1 p-multigrid on the velocity block (the simplex
+                # analog of the structured geometric-MG equivalence layer)
+                self.disc = self.disc.replace(p_mg=True)
             n_el = self.disc.n_tri
             n_dofs_v = 2 * self.disc.n_nodes_v
             n_dofs_p = self.disc.n_nodes_p

@@ -152,18 +152,31 @@ class LinearContext:
     def smoother_F(self, cfg: "PrecondConfig | None" = None):
         """Velocity-block smoother: geometric-multigrid V-cycle when a
         hierarchy is attached (the ILU/SSOR/AMG equivalence layer,
-        SURVEY.md N10), point Jacobi otherwise."""
-        if self.disc.mg is not None:
-            import jax.numpy as _jnp
+        SURVEY.md N10), the P2->P1 p-multigrid on the simplex backend,
+        point Jacobi otherwise."""
+        import jax.numpy as _jnp
 
+        mg_dtype = getattr(cfg, "mg_dtype", "float32")
+        if self.disc.mg is not None:
             from navier_stokes_solver_tpu.precond.mg import make_mg_vcycle
 
-            mg_dtype = getattr(cfg, "mg_dtype", "float32")
             return make_mg_vcycle(
                 self.disc, self.nu, self.inv_dt, self.state_u,
                 stokes=self.stokes,
                 smooth_degree=getattr(cfg, "mg_smooth_degree", 3),
                 smoother=getattr(cfg, "mg_smoother", "gmres"),
+                dtype=_jnp.dtype(mg_dtype) if mg_dtype else None,
+            )
+        if getattr(self.disc, "p_mg", False):
+            from navier_stokes_solver_tpu.unstructured.pmg import (
+                make_p_vcycle,
+            )
+
+            return make_p_vcycle(
+                self.disc, self.nu, self.inv_dt, self.state_u,
+                stokes=self.stokes,
+                diag_f=self.diag_f,
+                smooth_degree=getattr(cfg, "mg_smooth_degree", 3),
                 dtype=_jnp.dtype(mg_dtype) if mg_dtype else None,
             )
         return self.jacobi_F()

@@ -59,6 +59,13 @@ class SimplexDisc:
     cyl_edge: jax.Array  # [n_ce] int32 (0..2)
     cyl_len: jax.Array  # [n_ce]
     cyl_normal: jax.Array  # [n_ce, 2] outward (into the cylinder)
+    # unique-edge endpoint vertices ([n_edges, 2] int32; midpoint node
+    # n_verts + i sits on edge i) -- drives the P2 -> P1 p-multigrid
+    # transfers (unstructured/pmg.py)
+    edge_verts: jax.Array | None = None
+    # enable the P1-coarse velocity preconditioner (the simplex analog of
+    # the structured geometric-MG ILU/AMG equivalence layer)
+    p_mg: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def dtype(self):
@@ -285,4 +292,5 @@ def make_simplex_disc(
         cyl_edge=jnp.asarray(cyl_edge),
         cyl_len=jnp.asarray(cyl_len, dtype),
         cyl_normal=jnp.asarray(cyl_normal, dtype),
+        edge_verts=jnp.asarray(uniq.astype(np.int32)),
     )
