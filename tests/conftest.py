@@ -25,8 +25,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the nested-Krylov solve kernels are expensive
-# to compile on the single-core CPU; cache them across test sessions.
-jax.config.update("jax_compilation_cache_dir", "/tmp/nstpu_jax_cache_tests")
+# to compile on the single-core CPU; cache them across test sessions -- but
+# key the directory by the host's CPU flags: XLA:CPU AOT executables are
+# machine-specific, and loading an entry written on a different VM type
+# segfaults the whole pytest process (observed: SIGSEGV inside
+# compilation_cache.get_executable_and_time after a VM migration).
+import hashlib as _hashlib
+
+try:
+    _flags = ""
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _flags = _line
+                break
+    _tag = _hashlib.sha1(_flags.encode()).hexdigest()[:12]
+except OSError:  # pragma: no cover
+    _tag = "nocpuinfo"
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/nstpu_jax_cache_tests_{_tag}"
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
