@@ -30,21 +30,13 @@ jax.config.update("jax_platforms", "cpu")
 # machine-specific, and loading an entry written on a different VM type
 # segfaults the whole pytest process (observed: SIGSEGV inside
 # compilation_cache.get_executable_and_time after a VM migration).
-import hashlib as _hashlib
+# NSTPU_CACHE_DIR must be set BEFORE the package import below: the package
+# __init__ applies it (or its /tmp/nstpu_jax_cache default) over any prior
+# jax.config setting.
+from navier_stokes_solver_tpu.obs.cachedir import cpu_tagged_cache_dir  # noqa: E402
 
-try:
-    _flags = ""
-    with open("/proc/cpuinfo") as _f:
-        for _line in _f:
-            if _line.startswith("flags"):
-                _flags = _line
-                break
-    _tag = _hashlib.sha1(_flags.encode()).hexdigest()[:12]
-except OSError:  # pragma: no cover
-    _tag = "nocpuinfo"
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/nstpu_jax_cache_tests_{_tag}"
-)
+os.environ["NSTPU_CACHE_DIR"] = cpu_tagged_cache_dir("nstpu_jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", os.environ["NSTPU_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
