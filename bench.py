@@ -30,6 +30,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from navier_stokes_solver_tpu.api import NSSolverStationary, SolverOptions
+    from navier_stokes_solver_tpu.precond import PrecondConfig
 
     opts = SolverOptions(
         mesh_size=(100, 70),
@@ -47,6 +48,16 @@ def main():
         # iterations and 60 -> 45 s wall.  Fields are identical (same
         # operator, same tolerance); SolverOptions default stays 30.
         krylov_basis=60,
+        # GMRES-IR: f32 outer restart cycles with f64 restart residuals
+        # and solution accumulation (krylov/solvers.py::LowCycle) -- same
+        # absolute tolerance, automatic host fallback to f64 cycles on
+        # stall.  Disable with NSTPU_BENCH_NO_IR=1 for the f64-outer
+        # reference measurement.
+        precond_config=(
+            None
+            if os.environ.get("NSTPU_BENCH_NO_IR")
+            else PrecondConfig(krylov_cycle_dtype="float32")
+        ),
     )
     # The axon TPU worker occasionally dies mid-run ("kernel fault" /
     # UNAVAILABLE) and recovers after a few minutes; retry once from

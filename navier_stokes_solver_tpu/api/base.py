@@ -271,6 +271,8 @@ class NSSolverBase:
         # mathematically identical to one long restarted solve
         basis = max(1, int(o.krylov_basis))
         chunk_len = basis * max(1, self.KRYLOV_CHUNK // basis)
+        cfg = o.precond_config
+        prev_res = None
         while True:
             chunk = min(chunk_len, self.KRYLOV_MAXITER - total)
             self.delta, info = self.K.solve_kernel(
@@ -288,7 +290,7 @@ class NSSolverBase:
                 variant=self.VARIANT,
                 maxiter=chunk,
                 project_x0=first,
-                precond_cfg=o.precond_config,
+                precond_cfg=cfg,
                 basis=basis,
             )
             first = False
@@ -304,7 +306,27 @@ class NSSolverBase:
                     f"(residual {float(info.resnorm)!r}); the reference "
                     "aborts with deal.II NoConvergence on the same run"
                 )
-            if bool(info.converged) or it < chunk or total >= self.KRYLOV_MAXITER:
+            if bool(info.converged) or total >= self.KRYLOV_MAXITER:
+                break
+            if getattr(cfg, "krylov_cycle_dtype", None) is not None:
+                # GMRES-IR stall detection: in-device (a chunk of >= 2
+                # cycles exits below its iteration budget) or across
+                # chunks (the true restart residual stopped improving --
+                # a one-cycle chunk can never see its own stall).  Either
+                # way, retire the remaining iterations with full-precision
+                # cycles; the restart structure makes the switch exact.
+                res = float(info.resnorm)
+                if it < chunk or (prev_res is not None and res >= 0.99 * prev_res):
+                    cfg = dataclasses.replace(cfg, krylov_cycle_dtype=None)
+                    self.log(
+                        f"   [gmres-ir] f32 cycles stalled at residual "
+                        f"{res:.3e} after {total} iterations; falling back"
+                        " to f64 cycles"
+                    )
+                    prev_res = None
+                    continue
+                prev_res = res
+            elif it < chunk:
                 break
         timer_ctx.__exit__(None, None, None)
         self.log(f"   {total} iterations")

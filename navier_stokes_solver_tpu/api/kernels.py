@@ -18,7 +18,11 @@ import jax.numpy as jnp
 from navier_stokes_solver_tpu.krylov import bicgstab, fgmres, gmres
 from navier_stokes_solver_tpu.ops import Blocks, matfree, norm
 from navier_stokes_solver_tpu.ops.disc import Disc
-from navier_stokes_solver_tpu.precond import LinearContext, make_preconditioner
+from navier_stokes_solver_tpu.precond import (
+    LinearContext,
+    make_krylov_lo,
+    make_preconditioner,
+)
 
 
 def _ops_for(disc):
@@ -113,6 +117,12 @@ def solve_kernel(
         x0 = delta_prev
 
     kw = {} if solver_type == 2 else {"basis": basis}  # bicgstab: no basis
+    if solver_type != 2:
+        # GMRES-IR: optional reduced-precision restart cycles
+        # (PrecondConfig.krylov_cycle_dtype; None for bicgstab)
+        kw["lo"] = make_krylov_lo(
+            prec_type, ctx, variant=variant, cfg=precond_cfg
+        )
     delta, info = _SOLVERS[solver_type](
         A, rhs, x0, tol=tol, maxiter=maxiter, M=M, **kw
     )

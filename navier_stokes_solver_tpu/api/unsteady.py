@@ -200,6 +200,8 @@ class NSSolver(NSSolverBase):
             newton_max=newton_max or self.NEWTON_MAX_ITERS,
             newton_tol=newton_tol or self.NEWTON_TOL,
             krylov_maxiter=krylov_maxiter,
+            basis=max(1, int(o.krylov_basis)),
+            precond_cfg=o.precond_config,
         )
         if self.dist_mesh is not None:
             # whole fused step inside shard_map over the device mesh

@@ -81,6 +81,31 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
         "of the reference's 'mpiexec -n N', run_sim_steady.sh:24); "
         "default: single device",
     )
+    p.add_argument(
+        "--basis",
+        type=int,
+        default=30,
+        metavar="N",
+        help="outer GMRES/FGMRES restart basis (30 = deal.II-default "
+        "parity; 60 is the measured TPU sweet spot at the bench config)",
+    )
+    p.add_argument(
+        "--ir",
+        action="store_true",
+        help="GMRES-IR: run the outer Krylov restart cycles in f32 with "
+        "f64 restart residuals (iterative refinement; reaches the same "
+        "absolute tolerance, automatic f64 fallback on stall)",
+    )
+    p.add_argument(
+        "--schur",
+        choices=("mass", "cahouet", "pcd"),
+        default="mass",
+        metavar="MODE",
+        help="Schur treatment for blockDiagonal/blockTriangular: 'mass' "
+        "(reference parity), 'cahouet' (adds the (1/dt) Lp^-1 leg; "
+        "h/dt-robust unsteady outer counts) or 'pcd' (pressure "
+        "convection-diffusion; adds Re-robustness)",
+    )
     p.add_argument("--output", action="store_true", help="write VTU snapshots")
     p.add_argument("--output-dir", default=".", metavar="DIR")
     p.add_argument("--quiet", action="store_true")
@@ -145,6 +170,14 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
         import jax.numpy as jnp
 
         opts.dtype = jnp.float32
+    opts.krylov_basis = args.basis
+    if args.ir or args.schur != "mass":
+        from navier_stokes_solver_tpu.precond import PrecondConfig
+
+        opts.precond_config = PrecondConfig(
+            krylov_cycle_dtype="float32" if args.ir else None,
+            schur_mode=args.schur,
+        )
     if args.dd:
         if "," in args.dd:
             opts.dd = _pair(args.dd, int, "dd")

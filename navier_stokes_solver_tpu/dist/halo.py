@@ -145,6 +145,8 @@ def _decomposed_mg_chain(
             Pvy=stack(_interp_1d(nyl_c, nyl, deg, nodes)),
             Evx=stack(_interp_1d(nxl, nxl_c, deg, nodes)),
             Evy=stack(_interp_1d(nyl, nyl_c, deg, nodes)),
+            Ppx=stack(_interp_1d(nxl_c, nxl, disc.deg_p, tables.nodes_p)),
+            Ppy=stack(_interp_1d(nyl_c, nyl, disc.deg_p, tables.nodes_p)),
         )
 
     return build(disc.nx // n_dev, disc.ny // n_dev_y, 0)
@@ -158,7 +160,7 @@ def decompose_disc(
     axis_y: str = "y",
     multigrid: bool | None = None,
     mg_min_cells: int = 48,
-    mg_max_levels: int = 6,
+    mg_max_levels: int = 8,  # aligned with precond.mg.attach_mg's default
 ) -> Disc:
     """Split a global Disc into ``n_dev_y x n_dev`` tiles, stacked on a
     leading (y-major) axis.

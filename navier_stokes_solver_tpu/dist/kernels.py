@@ -17,8 +17,6 @@ tile-stacked ``[n_tiles, ...]`` and sharded over the mesh axes.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -26,8 +24,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from navier_stokes_solver_tpu.krylov import bicgstab, fgmres, gmres
 from navier_stokes_solver_tpu.ops import Blocks, matfree
 from navier_stokes_solver_tpu.ops.disc import Disc
-from navier_stokes_solver_tpu.ops.matfree import make_dot, mesh_axes
-from navier_stokes_solver_tpu.precond import LinearContext, make_preconditioner
+from navier_stokes_solver_tpu.ops.matfree import make_dot
+from navier_stokes_solver_tpu.precond import (
+    LinearContext,
+    make_krylov_lo,
+    make_preconditioner,
+)
 
 try:  # JAX >= 0.6
     shard_map = jax.shard_map
@@ -156,6 +158,10 @@ class DistKernels:
                     x0 = delta_prev
 
                 kw = {} if solver_type == 2 else {"basis": basis}
+                if solver_type != 2:
+                    kw["lo"] = make_krylov_lo(
+                        prec_type, ctx, variant=variant, cfg=precond_cfg
+                    )
                 delta, info = _SOLVERS[solver_type](
                     A, rhs, x0, tol=tol, maxiter=maxiter, M=M,
                     dot=make_dot(disc), **kw

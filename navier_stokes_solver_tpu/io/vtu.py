@@ -263,6 +263,11 @@ def write_vtu_record(
     os.makedirs(directory, exist_ok=True)
     geo = space.geo
     n_x, n_y = tiles or (1, 1)
+    if geo.nx % n_x or geo.ny % n_y:
+        raise ValueError(
+            f"tiles {n_x}x{n_y} must divide the {geo.nx}x{geo.ny} grid "
+            "(pieces would silently drop trailing cell rows/columns)"
+        )
     nxl, nyl = geo.nx // n_x, geo.ny // n_y
     pieces = []
     for iy in range(n_y):

@@ -9,6 +9,7 @@ NSSolver.cpp:670, :721-722).
 """
 
 from navier_stokes_solver_tpu.krylov.solvers import (
+    LowCycle,
     SolveInfo,
     bicgstab,
     cg,
@@ -16,4 +17,4 @@ from navier_stokes_solver_tpu.krylov.solvers import (
     gmres,
 )
 
-__all__ = ["gmres", "fgmres", "bicgstab", "cg", "SolveInfo"]
+__all__ = ["gmres", "fgmres", "bicgstab", "cg", "SolveInfo", "LowCycle"]

@@ -21,15 +21,44 @@ fixed-shape: Krylov bases are stacked leading-dimension pytrees updated with
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["SolveInfo", "gmres", "fgmres", "bicgstab", "cg"]
+__all__ = ["SolveInfo", "LowCycle", "gmres", "fgmres", "bicgstab", "cg"]
 
 Op = Callable
+
+
+class LowCycle(NamedTuple):
+    """Low-precision restart-cycle configuration for GMRES-IR.
+
+    Restarted GMRES recomputes the true residual at every restart; running
+    the Arnoldi cycles in reduced precision while keeping that restart
+    residual (and the solution accumulation) in the operator precision is
+    exactly GMRES-based iterative refinement (Carson & Higham, SIAM
+    J. Sci. Comput. 40(2), 2018).  On TPU f64 is emulated, so f32 cycles
+    cut the per-iteration cost of the matvec, the basis updates and the
+    orthogonalization contractions by the emulation factor while the
+    converged residual still reaches f64 tolerances.
+
+    ``matvec``/``M``/``dot`` operate in ``dtype``.  ``eta`` floors the
+    in-cycle (estimated) residual reduction: a single f32 cycle cannot
+    meaningfully reduce the residual below ~eps_f32 relative to the restart
+    residual, so the cycle stops early at ``eta * beta`` and returns to the
+    f64 restart.  ``stall``: if a full cycle fails to reduce the true
+    residual below ``stall *`` its previous value, the solve stops reporting
+    non-convergence (callers fall back to full-precision cycles).
+    """
+
+    matvec: Op
+    M: Op | None = None
+    dot: Op | None = None
+    dtype: Any = None  # default float32
+    eta: float = 1e-6
+    stall: float = 0.99
 
 
 class SolveInfo(NamedTuple):
@@ -100,6 +129,10 @@ def _identity(x):
     return x
 
 
+def _cast_tree(x, dtype):
+    return jax.tree_util.tree_map(lambda a: a.astype(dtype), x)
+
+
 _EPS_BREAKDOWN = 1e-300
 
 
@@ -119,23 +152,50 @@ def _gmres_core(
     basis: int,
     flexible: bool,
     dot: Op | None = None,
+    lo: "LowCycle | None" = None,
 ):
-    """Shared GMRES/FGMRES implementation with restarts and Givens updates."""
+    """Shared GMRES/FGMRES implementation with restarts and Givens updates.
+
+    ``lo``: run the Arnoldi restart cycles in reduced precision (GMRES-IR;
+    see ``LowCycle``).  The restart residual ``b - A x`` and the solution
+    accumulation stay in the operator precision.
+    """
     M = M or _identity
     dot = dot or tvdot
     nrm = lambda x: jnp.sqrt(dot(x, x))
-    dtype = jnp.result_type(*[l.dtype for l in jax.tree_util.tree_leaves(b)])
+    hi_dtype = jnp.result_type(*[l.dtype for l in jax.tree_util.tree_leaves(b)])
+    if lo is not None:
+        wd = jnp.dtype(lo.dtype) if lo.dtype is not None else jnp.dtype(jnp.float32)
+        w_mv = lo.matvec
+        w_M = lo.M or _identity
+        w_dot = lo.dot or tvdot
+    else:
+        wd = hi_dtype
+        w_mv = matvec
+        w_M = M
+        w_dot = dot
+    w_nrm = lambda x: jnp.sqrt(w_dot(x, x))
 
     def initial_residual(x):
         r = tsub(b, matvec(x))
         if not flexible:
-            r = M(r)
+            if lo is not None:
+                r = jax.tree_util.tree_map(
+                    lambda a: a.astype(hi_dtype), w_M(_cast_tree(r, wd))
+                )
+            else:
+                r = M(r)
         return r
 
-    def cycle(x, iters):
-        """One restart cycle. Returns (x_new, iters, res, converged)."""
-        r = initial_residual(x)
-        beta = nrm(r)
+    def arnoldi_cycle(r, beta, inner_tol, iters, init_done):
+        """One Arnoldi restart cycle in the working precision.
+
+        ``r``/``beta``: start residual and its norm (working dtype).
+        Returns ``(corr, iters, res, done)`` -- the correction to add to
+        the iterate, the updated iteration count, the in-cycle (Givens)
+        residual estimate, and the in-cycle stop flag.
+        """
+        dtype = wd
         v0 = tscale(1.0 / jnp.maximum(beta, _EPS_BREAKDOWN), r)
         V = _set(_stack_zeros(r, basis + 1), 0, v0)
         Z = _stack_zeros(r, basis) if flexible else None
@@ -143,6 +203,11 @@ def _gmres_core(
         cs = jnp.zeros(basis, dtype)
         sn = jnp.zeros(basis, dtype)
         g = jnp.zeros(basis + 1, dtype).at[0].set(beta)
+        tol_w = jnp.asarray(inner_tol, dtype)
+        nrm = w_nrm
+        dot = w_dot
+        M = w_M
+        matvec = w_mv
 
         def arnoldi_cond(c):
             V, Z, R, cs, sn, g, j, it, res, done = c
@@ -208,7 +273,7 @@ def _gmres_core(
             res_new = jnp.abs(g_new[j + 1])
             R_new = R.at[:, j].set(col[: basis + 1])
             it_new = it + 1
-            done_new = (res_new <= tol) | ~jnp.isfinite(res_new)
+            done_new = (res_new <= tol_w) | ~jnp.isfinite(res_new)
             return (
                 V_new,
                 Z_new,
@@ -222,7 +287,7 @@ def _gmres_core(
                 done_new,
             )
 
-        init = (V, Z, R, cs, sn, g, jnp.int32(0), iters, beta, beta <= tol)
+        init = (V, Z, R, cs, sn, g, jnp.int32(0), iters, beta, init_done)
         V, Z, R, cs, sn, g, j, iters, res, done = lax.while_loop(
             arnoldi_cond, arnoldi_body, init
         )
@@ -236,54 +301,116 @@ def _gmres_core(
         y = jax.scipy.linalg.solve_triangular(Rj, gj, lower=False)
         y = jnp.where(jnp.isfinite(y), y, 0.0)
 
-        # x += sum_i y_i (Z|V)_i as one stacked contraction (y is zero
+        # corr = sum_i y_i (Z|V)_i as one stacked contraction (y is zero
         # beyond j by construction)
         src = Z if flexible else V
         yk = y if flexible else jnp.concatenate([y, jnp.zeros((1,), dtype)])
-        x_new = jax.tree_util.tree_map(
-            lambda xl, Sl: xl
-            + jnp.tensordot(yk, Sl, axes=[[0], [0]]).astype(xl.dtype),
-            x,
-            src,
+        corr = jax.tree_util.tree_map(
+            lambda Sl: jnp.tensordot(yk, Sl, axes=[[0], [0]]), src
         )
-        return x_new, iters, res, done
+        return corr, iters, res, done
 
-    # initial convergence check (deal.II SolverControl step 0)
-    r0 = initial_residual(x0)
-    beta0 = nrm(r0)
+    def add_corr(x, corr):
+        return jax.tree_util.tree_map(
+            lambda xl, cl: xl + cl.astype(xl.dtype), x, corr
+        )
+
+    if lo is None:
+        # ---- full-precision restarted GMRES (reference semantics) ----
+        def cycle(x, iters):
+            r = initial_residual(x)
+            beta = nrm(r)
+            corr, iters, res, done = arnoldi_cycle(
+                r, beta, tol, iters, beta <= tol
+            )
+            return add_corr(x, corr), iters, res, done
+
+        # initial convergence check (deal.II SolverControl step 0)
+        r0 = initial_residual(x0)
+        beta0 = nrm(r0)
+
+        def outer_cond(c):
+            x, iters, res, done = c
+            return (~done) & (iters < maxiter)
+
+        def outer_body(c):
+            x, iters, res, done = c
+            return cycle(x, iters)
+
+        x, iters, res, done = lax.while_loop(
+            outer_cond, outer_body, (x0, jnp.int32(0), beta0, beta0 <= tol)
+        )
+        # ``done`` also fires on a non-finite residual (to stop the loop);
+        # report that as a breakdown, not as convergence (deal.II
+        # check_failure analog).
+        finite = jnp.isfinite(res)
+        return x, SolveInfo(
+            iters=iters, converged=done & finite, resnorm=res, failed=~finite
+        )
+
+    # ---- GMRES-IR: low-precision cycles, full-precision restarts ----
+    def cycle_lo(x, iters, stall_ref):
+        r_hi = initial_residual(x)
+        beta_hi = nrm(r_hi)
+        finite = jnp.isfinite(beta_hi)
+        # stop before the cycle when converged, broken down, or when the
+        # previous full cycle failed to reduce the true residual (the
+        # attainable-reduction floor of the low-precision inner solve)
+        stop = (beta_hi <= tol) | ~finite | (beta_hi > lo.stall * stall_ref)
+        r = _cast_tree(r_hi, wd)
+        beta = beta_hi.astype(wd)
+        # one low-precision cycle cannot reduce the residual below
+        # ~eps(lo) relative to the restart residual: stop the cycle at
+        # eta * beta and return to the f64 restart
+        inner_tol = jnp.maximum(
+            jnp.asarray(tol, hi_dtype), lo.eta * beta_hi
+        ).astype(wd)
+        corr, iters, _res, _done = arnoldi_cycle(r, beta, inner_tol, iters, stop)
+        # keep the iterate frozen on a stopped cycle (a skipped cycle's
+        # zero-weight contraction over a non-finite basis would yield NaN)
+        x_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stop, a, b), x, add_corr(x, corr)
+        )
+        return x_new, iters, beta_hi, beta_hi, stop
 
     def outer_cond(c):
-        x, iters, res, done = c
+        x, iters, res, stall_ref, done = c
         return (~done) & (iters < maxiter)
 
     def outer_body(c):
-        x, iters, res, done = c
-        return cycle(x, iters)
+        x, iters, res, stall_ref, done = c
+        return cycle_lo(x, iters, stall_ref)
 
-    x, iters, res, done = lax.while_loop(
-        outer_cond, outer_body, (x0, jnp.int32(0), beta0, beta0 <= tol)
+    inf = jnp.asarray(jnp.inf, hi_dtype)
+    x, iters, res, _sr, done = lax.while_loop(
+        outer_cond, outer_body,
+        (x0, jnp.int32(0), inf, inf, jnp.bool_(False)),
     )
-    # ``done`` also fires on a non-finite residual (to stop the loop); report
-    # that as a breakdown, not as convergence (deal.II check_failure analog).
+    # exits: converged (res <= tol), non-finite (breakdown), stall (the
+    # cycles stopped making progress -- callers fall back to lo=None), or
+    # maxiter.  The final ``res`` is always the true recomputed residual.
     finite = jnp.isfinite(res)
     return x, SolveInfo(
-        iters=iters, converged=done & finite, resnorm=res, failed=~finite
+        iters=iters,
+        converged=done & finite & (res <= tol),
+        resnorm=res,
+        failed=~finite,
     )
 
 
-def gmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30, dot=None):
+def gmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30, dot=None, lo=None):
     """Left-preconditioned restarted GMRES (deal.II ``SolverGMRES``)."""
     return _gmres_core(
         matvec, b, x0, tol=tol, maxiter=maxiter, M=M, basis=basis,
-        flexible=False, dot=dot,
+        flexible=False, dot=dot, lo=lo,
     )
 
 
-def fgmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30, dot=None):
+def fgmres(matvec, b, x0, *, tol, maxiter=1000, M=None, basis=30, dot=None, lo=None):
     """Flexible (right-preconditioned) GMRES (deal.II ``SolverFGMRES``)."""
     return _gmres_core(
         matvec, b, x0, tol=tol, maxiter=maxiter, M=M, basis=basis,
-        flexible=True, dot=dot,
+        flexible=True, dot=dot, lo=lo,
     )
 
 

@@ -18,15 +18,26 @@ __all__ = ["cpu_tagged_cache_dir"]
 
 
 def cpu_tagged_cache_dir(basename: str, root: str = "/tmp") -> str:
-    """``/tmp/<basename>_<cpu-flag-hash>`` for CPU-platform cache use."""
-    flags = ""
+    """``/tmp/<basename>_<cpu-id-hash>`` for CPU-platform cache use.
+
+    The key hashes the flags line AND the model-identity lines: XLA's
+    AOT target features include model-derived tuning choices (e.g.
+    ``+prefer-no-gather``) that differ between CPU models with identical
+    feature flags -- a flags-only key let a migrated VM load a
+    feature-mismatched entry and SIGSEGV (observed again 2026-08-17,
+    round 3, inside get_executable_and_time at test-suite 66%).
+    """
+    keys = ("flags", "model name", "vendor_id", "cpu family", "model\t",
+            "stepping")
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = line
-                    break
+                if any(line.startswith(k) for k in keys):
+                    ident.append(line)
+                if line.strip() == "" and ident:
+                    break  # first core only; all cores identical
     except OSError:  # pragma: no cover
-        flags = "nocpuinfo"
-    tag = hashlib.sha1(flags.encode()).hexdigest()[:12]
+        ident = ["nocpuinfo"]
+    tag = hashlib.sha1("".join(ident).encode()).hexdigest()[:12]
     return f"{root}/{basename}_{tag}"

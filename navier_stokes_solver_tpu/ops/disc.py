@@ -114,6 +114,11 @@ class MGEdge:
     Pvy: jax.Array  # [NVy_fine, NVy_coarse]
     Evx: jax.Array  # [NVx_coarse, NVx_fine]
     Evy: jax.Array  # [NVy_coarse, NVy_fine]
+    # pressure-lattice prolongation factors (the pressure-Laplacian V-cycle
+    # of the Cahouet-Chabard Schur leg; restriction = transpose sweep).
+    # None on chains built before the pressure MG existed.
+    Ppx: jax.Array | None = None  # [NPx_fine, NPx_coarse]
+    Ppy: jax.Array | None = None  # [NPy_fine, NPy_coarse]
 
 
 def _neumann_rhs_unit(space: FESpace) -> np.ndarray:

@@ -50,6 +50,11 @@ __all__ = [
     "apply_B",
     "apply_Bt",
     "apply_Mp",
+    "apply_Mp_raw",
+    "apply_Fp",
+    "apply_Lp",
+    "diag_Lp",
+    "p_outlet_mask",
     "apply_jacobian",
     "residual",
     "diag_F",
@@ -400,6 +405,130 @@ def apply_Mp(disc: Disc, nu, x_p: jax.Array) -> jax.Array:
     pv = _eval_p(disc, x_p)
     y = _project_p(disc, pv / nu)
     return jnp.where(disc.p_active, y, x_p)
+
+
+def p_outlet_mask(disc: Disc) -> jax.Array:
+    """Pressure-lattice nodes on the outlet boundary (id 8, x = 2.2).
+
+    Under x-decomposition only the rightmost tile owns the outlet column
+    (resolved by ``axis_index`` inside shard_map)."""
+    NPy, NPx = disc.NP
+    m = jnp.broadcast_to((jnp.arange(NPx) == NPx - 1)[None, :], (NPy, NPx))
+    if disc.halo_axis is not None and disc.halo_n > 1:
+        idx = jax.lax.axis_index(disc.halo_axis)
+        m = m & (idx == disc.halo_n - 1)
+    return m & disc.p_active
+
+
+def apply_Lp(disc: Disc, x_p: jax.Array) -> jax.Array:
+    """Pressure Laplacian (grad psi_j, grad psi_i) on active cells.
+
+    This operator does not exist in the reference; it is the second leg of
+    the Cahouet-Chabard Schur approximation for the *unsteady* regime,
+    S^-1 ~ nu Mp^-1 + (1/dt) Lp^-1 (Cahouet & Chabard, Int. J. Numer.
+    Methods Fluids 8, 1988) -- with the implicit-Euler time term the Schur
+    complement is dt-Laplacian-dominated and the reference's pure
+    pressure-mass preconditioner (NSSolver.hpp:228-236) loses
+    h/dt-robustness.  Boundary conditions (standard CC choice): natural
+    (Neumann) on the velocity-Dirichlet boundaries, identity (Dirichlet)
+    rows on the outflow column where the velocity is free -- which also
+    makes the operator nonsingular.  Non-existent lattice lanes are
+    identity rows.
+
+    Unlike the reference-faithful Jacobian elimination (rows only,
+    ``eliminate_columns=false``), the constrained rows AND columns are
+    eliminated here so the operator stays exactly symmetric -- it feeds
+    CG and Chebyshev, and no parity constraint applies.
+    """
+    t = disc.tables
+    free = disc.p_active & ~p_outlet_mask(disc)
+    loc = _gather_p(disc, jnp.where(free, x_p, 0.0))
+    dphi = jnp.asarray(t.dphi_p, disc.dtype)
+    gx = jnp.einsum("qn,nyx->qyx", dphi[:, :, 0], loc) / disc.hx
+    gy = jnp.einsum("qn,nyx->qyx", dphi[:, :, 1], loc) / disc.hy
+    w = _qweights(disc)
+    dxw = dphi[:, :, 0] * (w / disc.hx)[:, None]
+    dyw = dphi[:, :, 1] * (w / disc.hy)[:, None]
+    mask = disc.cell_mask
+    out = jnp.einsum("qn,qyx->nyx", dxw, gx * mask) + jnp.einsum(
+        "qn,qyx->nyx", dyw, gy * mask
+    )
+    y = _scatter_p(disc, out)
+    return jnp.where(free, y, x_p)
+
+
+def apply_Fp(disc: Disc, nu, inv_dt, linq, x_p: jax.Array) -> jax.Array:
+    """Pressure convection-diffusion operator (the PCD middle factor):
+
+        Fp = inv_dt * Mp_raw + nu * Lp + N_p(u_k),
+
+    with N_p the convection (u_k . grad p, psi) evaluated from the Newton
+    linearization state at the shared volume quadrature points, and the
+    same symmetric outlet/inactive elimination as ``apply_Lp`` so the
+    composition Mp^-1 Fp Ap^-1 passes constrained entries through
+    coherently.  ``Mp_raw`` is the UNSCALED pressure mass (the 1/nu
+    scaling of ``apply_Mp`` belongs to the reference's preconditioner
+    formula, not to the PCD algebra).  In the Stokes limit
+    (``linq=None``, inv_dt = 0) Fp = nu Lp, so Mp^-1 Fp Ap^-1 reduces to
+    the reference's nu-scaled mass solve exactly.
+
+    No reference analog (Trilinos has no PCD); this is the
+    h-robustness upgrade of the Schur block (Elman, Silvester & Wathen,
+    "Finite Elements and Fast Iterative Solvers", ch. 9).
+    """
+    t = disc.tables
+    free = disc.p_active & ~p_outlet_mask(disc)
+    loc = _gather_p(disc, jnp.where(free, x_p, 0.0))
+    phi = jnp.asarray(t.phi_p, disc.dtype)
+    dphi = jnp.asarray(t.dphi_p, disc.dtype)
+    pv = jnp.einsum("qn,nyx->qyx", phi, loc)
+    gx = jnp.einsum("qn,nyx->qyx", dphi[:, :, 0], loc) / disc.hx
+    gy = jnp.einsum("qn,nyx->qyx", dphi[:, :, 1], loc) / disc.hy
+    w = _qweights(disc)
+    mask = disc.cell_mask
+    # diffusion leg: nu (grad p, grad psi)
+    dxw = dphi[:, :, 0] * (w / disc.hx)[:, None]
+    dyw = dphi[:, :, 1] * (w / disc.hy)[:, None]
+    out = nu * (
+        jnp.einsum("qn,qyx->nyx", dxw, gx * mask)
+        + jnp.einsum("qn,qyx->nyx", dyw, gy * mask)
+    )
+    # reaction + convection legs: (p/dt + u_k . grad p, psi)
+    f_val = inv_dt * pv
+    if linq is not None:
+        f_val = f_val + linq.u[:, 0] * gx + linq.u[:, 1] * gy
+    phi_w = phi * w[:, None]
+    out = out + jnp.einsum("qn,qyx->nyx", phi_w, f_val * mask)
+    y = _scatter_p(disc, out)
+    return jnp.where(free, y, x_p)
+
+
+def apply_Mp_raw(disc: Disc, x_p: jax.Array) -> jax.Array:
+    """Unscaled pressure mass with the PCD elimination convention
+    (identity on outlet + non-existent rows; cf. ``apply_Mp`` which keeps
+    the reference's 1/nu scaling and eliminates nothing)."""
+    free = disc.p_active & ~p_outlet_mask(disc)
+    pv = _eval_p(disc, jnp.where(free, x_p, 0.0))
+    y = _project_p(disc, pv)
+    return jnp.where(free, y, x_p)
+
+
+def diag_Lp(disc: Disc) -> jax.Array:
+    """Diagonal of the pressure Laplacian (Jacobi/Chebyshev smoothing);
+    constrained/non-existent rows get 1.0."""
+    t = disc.tables
+    w = _qweights(disc)
+    dphi = jnp.asarray(t.dphi_p, disc.dtype)
+    dx = dphi[:, :, 0] / disc.hx
+    dy = dphi[:, :, 1] / disc.hy
+    loc = jnp.einsum("q,qn->n", w, dx * dx + dy * dy)
+    d = _scatter_p(
+        disc,
+        jnp.broadcast_to(loc[:, None, None], (t.n_p, disc.ny, disc.nx))
+        * disc.cell_mask,
+    )
+    d = jnp.where(p_outlet_mask(disc), 1.0, d)
+    return jnp.where(disc.p_active, d, 1.0)
 
 
 def apply_jacobian(

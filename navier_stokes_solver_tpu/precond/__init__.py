@@ -14,6 +14,7 @@ outer Krylov.
 from navier_stokes_solver_tpu.precond.blocks import (
     LinearContext,
     PrecondConfig,
+    make_krylov_lo,
     make_preconditioner,
 )
 from navier_stokes_solver_tpu.precond.mg import attach_mg, make_mg_vcycle
@@ -22,6 +23,7 @@ __all__ = [
     "LinearContext",
     "PrecondConfig",
     "make_preconditioner",
+    "make_krylov_lo",
     "attach_mg",
     "make_mg_vcycle",
 ]

@@ -24,15 +24,13 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from typing import Any
-
 from navier_stokes_solver_tpu.krylov import cg, fgmres
 from navier_stokes_solver_tpu.ops import matfree
 from navier_stokes_solver_tpu.ops.matfree import make_dot
 from navier_stokes_solver_tpu.ops import Blocks, LinearizationQ
 from navier_stokes_solver_tpu.ops.disc import Disc
 
-__all__ = ["LinearContext", "PrecondConfig", "make_preconditioner"]
+__all__ = ["LinearContext", "PrecondConfig", "make_preconditioner", "make_krylov_lo"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +75,37 @@ class PrecondConfig:
     # NS-regime block, Stokes/SPD only) or "schwarz" (cell-block additive
     # Schwarz -- stronger per sweep, costlier)
     mg_smoother: str = "gmres"
+    # Working precision of the *outer* GMRES/FGMRES restart cycles
+    # (GMRES-IR / iterative refinement, krylov.LowCycle): the Arnoldi
+    # basis, orthogonalization, matvec and preconditioner of each restart
+    # cycle run in this dtype while the restart residual b - A x and the
+    # solution accumulation stay in the operator dtype (f64) -- so the
+    # converged residual still reaches f64 tolerances.  On TPU f64 is
+    # emulated; "float32" cuts the per-outer-iteration cost by the
+    # emulation factor.  None = full-precision outer (reference parity).
+    # The host driver falls back to full precision automatically when the
+    # low-precision cycles stall above the tolerance.
+    krylov_cycle_dtype: Any = None
+    # Schur-complement treatment for the pressure block of blockDiagonal /
+    # blockTriangular:
+    #   "mass":    the reference's 1/nu-scaled pressure-mass solve
+    #              (NSSolver.hpp:228-236) -- parity default;
+    #   "cahouet": Cahouet-Chabard, S^-1 ~ nu Mp^-1 + (1/dt) Lp^-1.  With
+    #              the implicit-Euler time term the Schur complement is
+    #              dt-Laplacian dominated and the pure mass preconditioner
+    #              loses h/dt robustness (outer counts grow ~1/(h sqrt(dt)));
+    #              the added Laplacian leg restores it.  Structured backend,
+    #              Newton regime only (reduces to "mass" in the Stokes
+    #              regime and, numerically, whenever inv_dt == 0).
+    #   "pcd":     pressure convection-diffusion (Elman/Silvester/Wathen),
+    #              S^-1 ~ Mp_raw^-1 Fp Ap^-1 with Fp = Mp_raw/dt + nu Lp
+    #              + N_p(u_k).  Subsumes "cahouet" and additionally tracks
+    #              the convection, giving Re-robustness of the stationary
+    #              outer iteration.  Structured backend, Newton regime only.
+    schur_mode: str = "mass"
+    # Relative tolerance of the Cahouet-Chabard pressure-Laplacian CG leg
+    # (V-cycle preconditioned; a loose solve suffices for a Schur approx).
+    cc_lp_rel: float = 1e-2
     # Inner-solve tolerance overrides for blockTriangular (None = the
     # reference's values: velocity rel 1e-4 unsteady / 1e-2 stationary,
     # pressure rel 1e-5 / 1e-2 -- NSSolver.hpp:219/228,
@@ -125,6 +154,10 @@ class LinearContext:
 
     def Mp(self, x_p):
         return self.ops.apply_Mp(self.disc, self.nu, x_p)
+
+    def Lp(self, x_p):
+        """Pressure Laplacian (the Cahouet-Chabard leg; structured only)."""
+        return self.ops.apply_Lp(self.disc, x_p)
 
     def S(self, x_p):
         """Approximate Schur complement S = B diag(F)^-1 B^T, composed
@@ -231,6 +264,122 @@ def _fixed_Mp_solver(ctx: LinearContext, cfg: PrecondConfig):
     return solve
 
 
+def _schur_mode(ctx: LinearContext, cfg: PrecondConfig) -> str:
+    """Resolved Schur treatment.  The upgraded modes apply in the Newton
+    regime of the structured backend; in the Stokes regime (no time term in
+    the operator regardless of ``inv_dt``, and no convection) the mass
+    solve alone IS the right Schur approximation, and the simplex backend
+    has no pressure-Laplacian operator."""
+    mode = getattr(cfg, "schur_mode", "mass")
+    if mode == "mass" or ctx.stokes or not hasattr(ctx.ops, "apply_Lp"):
+        return "mass"
+    return mode
+
+
+def _use_cahouet(ctx: LinearContext, cfg: PrecondConfig) -> bool:
+    return _schur_mode(ctx, cfg) == "cahouet"
+
+
+def _lp_preconditioner(ctx: LinearContext, cfg: PrecondConfig):
+    """V-cycle on the pressure Laplacian when the MG chain carries pressure
+    transfers, Jacobi otherwise.  ``ctx`` is already in the vmult dtype."""
+    disc = ctx.disc
+    if getattr(disc, "mg", None) is not None and disc.mg.Ppx is not None:
+        from navier_stokes_solver_tpu.precond.mg import make_lp_vcycle
+
+        return make_lp_vcycle(disc)
+    dinv = 1.0 / ctx.ops.diag_Lp(disc)
+    return lambda r: dinv * r
+
+
+def _make_p_solver(ctx: LinearContext, cfg: PrecondConfig):
+    """Pressure-block inner solver ``solve(rhs, tol) -> dp`` for
+    blockDiagonal / blockTriangular.
+
+    "mass": Jacobi-CG on the 1/nu-scaled pressure mass to the caller's
+    (reference) tolerance -- dp = nu Mp^-1 rhs.
+    "cahouet": adds the dt leg, dp += inv_dt * Lp^-1 rhs (V-cycle
+    preconditioned CG to ``cc_lp_rel``); with inv_dt == 0 this reduces to
+    the mass solve exactly.
+    """
+    mp = ctx.jacobi_Mp()
+    dot = ctx.dot()
+
+    def solve_mass(rhs, tol):
+        dp, _ = cg(
+            ctx.Mp, rhs, jnp.zeros_like(rhs), tol=tol,
+            maxiter=cfg.inner_maxiter, M=mp, dot=dot,
+        )
+        return dp
+
+    mode = _schur_mode(ctx, cfg)
+    if mode == "mass":
+        return solve_mass
+
+    mlp = _lp_preconditioner(ctx, cfg)
+    nrm = ctx.norm()
+    rel = getattr(cfg, "cc_lp_rel", 1e-2)
+
+    def solve_lp(rhs):
+        # FGMRES, not CG: the V-cycle's inexact coarse solve makes the
+        # preconditioner (mildly) nonlinear, which stalls CG; a flexible
+        # method reaches the loose Schur-leg tolerance in a few iterations
+        dl, _ = fgmres(
+            ctx.Lp, rhs, jnp.zeros_like(rhs), tol=rel * nrm(rhs),
+            maxiter=cfg.inner_maxiter, M=mlp, dot=dot,
+        )
+        return dl
+
+    if mode == "cahouet":
+
+        def solve_cc(rhs, tol):
+            return solve_mass(rhs, tol) + ctx.inv_dt * solve_lp(rhs)
+
+        return solve_cc
+
+    # "pcd": dp = Mp_raw^-1 Fp Ap^-1 rhs
+    dinv_raw = 1.0 / ctx.ops.diag_Mp(ctx.disc, 1.0)
+    mp_raw = lambda r: dinv_raw * r
+
+    def solve_pcd(rhs, tol):
+        z = solve_lp(rhs)
+        wv = ctx.ops.apply_Fp(ctx.disc, ctx.nu, ctx.inv_dt, ctx.linq, z)
+        dp, _ = cg(
+            lambda x: ctx.ops.apply_Mp_raw(ctx.disc, x),
+            wv, jnp.zeros_like(wv), tol=rel * nrm(wv),
+            maxiter=cfg.inner_maxiter, M=mp_raw, dot=dot,
+        )
+        return dp
+
+    return solve_pcd
+
+
+def _fixed_p_solver(ctx: LinearContext, cfg: PrecondConfig):
+    """Fixed-sweep pressure solve (no nested iteration): Chebyshev mass
+    sweeps, plus one Lp V-cycle per application under Cahouet-Chabard,
+    or the V-cycle/Fp/Jacobi-mass sandwich under PCD."""
+    base = _fixed_Mp_solver(ctx, cfg)
+    mode = _schur_mode(ctx, cfg)
+    if mode == "mass":
+        return base
+    mlp = _lp_preconditioner(ctx, cfg)
+    if mode == "cahouet":
+
+        def solve(rhs):
+            return base(rhs) + ctx.inv_dt * mlp(rhs)
+
+        return solve
+
+    dinv_raw = 1.0 / ctx.ops.diag_Mp(ctx.disc, 1.0)
+
+    def solve_pcd(rhs):
+        return dinv_raw * ctx.ops.apply_Fp(
+            ctx.disc, ctx.nu, ctx.inv_dt, ctx.linq, mlp(rhs)
+        )
+
+    return solve_pcd
+
+
 # ---------------------------------------------------------------------------
 # blockDiagonal
 # ---------------------------------------------------------------------------
@@ -244,17 +393,19 @@ def make_block_diagonal(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     Stationary (NSSolverStationary.hpp:131-153): same solves to *relative*
     tolerance 1e-1, SSOR-preconditioned.
     """
-    mf, mp = ctx.smoother_F(cfg), ctx.jacobi_Mp()
+    mf = ctx.smoother_F(cfg)
     dot, nrm = ctx.dot(), ctx.norm()
 
     if _resolve_inner_mode(ctx, cfg) == "fixed":
         solve_f = _fixed_F_solver(ctx, cfg, mf)
-        solve_p = _fixed_Mp_solver(ctx, cfg)
+        solve_p = _fixed_p_solver(ctx, cfg)
 
         def vmult(src: Blocks) -> Blocks:
             return Blocks(u=solve_f(src.u), p=solve_p(src.p))
 
         return vmult
+
+    solve_p = _make_p_solver(ctx, cfg)
 
     def vmult(src: Blocks) -> Blocks:
         if variant == "unsteady":
@@ -267,11 +418,7 @@ def make_block_diagonal(ctx: LinearContext, cfg: PrecondConfig, variant: str):
             ctx.F, src.u, _zeros_u(ctx), tol=tol_u, maxiter=cfg.inner_maxiter,
             M=mf, dot=dot,
         )
-        dp, _ = cg(
-            ctx.Mp, src.p, _zeros_p(ctx), tol=tol_p, maxiter=cfg.inner_maxiter,
-            M=mp, dot=dot,
-        )
-        return Blocks(u=du, p=dp)
+        return Blocks(u=du, p=solve_p(src.p, tol_p))
 
     return vmult
 
@@ -289,14 +436,21 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     Stationary (NSSolverStationary.hpp:188-218): rel 1e-2 / 1e-2 with AMG on
     the velocity block and ILU on the pressure mass.
     """
-    mf, mp = ctx.smoother_F(cfg), ctx.jacobi_Mp()
+    mf = ctx.smoother_F(cfg)
     dot, nrm = ctx.dot(), ctx.norm()
-    rel_u = cfg.tri_rel_u or (1e-4 if variant == "unsteady" else 1e-2)
-    rel_p = cfg.tri_rel_p or (1e-5 if variant == "unsteady" else 1e-2)
+    for name, v in (("tri_rel_u", cfg.tri_rel_u), ("tri_rel_p", cfg.tri_rel_p)):
+        if v is not None and not v > 0.0:
+            raise ValueError(f"PrecondConfig.{name} must be > 0, got {v!r}")
+    rel_u = cfg.tri_rel_u if cfg.tri_rel_u is not None else (
+        1e-4 if variant == "unsteady" else 1e-2
+    )
+    rel_p = cfg.tri_rel_p if cfg.tri_rel_p is not None else (
+        1e-5 if variant == "unsteady" else 1e-2
+    )
 
     if _resolve_inner_mode(ctx, cfg) == "fixed":
         solve_f = _fixed_F_solver(ctx, cfg, mf)
-        solve_p = _fixed_Mp_solver(ctx, cfg)
+        solve_p = _fixed_p_solver(ctx, cfg)
 
         def vmult(src: Blocks) -> Blocks:
             du = solve_f(src.u)
@@ -304,6 +458,8 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
             return Blocks(u=du, p=solve_p(tmp))
 
         return vmult
+
+    solve_p = _make_p_solver(ctx, cfg)
 
     def vmult(src: Blocks) -> Blocks:
         du, _ = fgmres(
@@ -320,14 +476,8 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
         # while solving with rhs ``tmp``; when src.p == 0 that is tol = 0 on
         # a nonzero system -- floor it at machine precision of the rhs.
         eps = jnp.finfo(ctx.disc.dtype).eps
-        dp, _ = cg(
-            ctx.Mp,
-            tmp,
-            _zeros_p(ctx),
-            tol=jnp.maximum(rel_p * nrm(src.p), 100.0 * eps * nrm(tmp)),
-            maxiter=cfg.inner_maxiter,
-            M=mp,
-            dot=dot,
+        dp = solve_p(
+            tmp, jnp.maximum(rel_p * nrm(src.p), 100.0 * eps * nrm(tmp))
         )
         return Blocks(u=du, p=dp)
 
@@ -436,6 +586,35 @@ def _cast_ctx(ctx: LinearContext, dtype) -> LinearContext:
         nu=jnp.asarray(ctx.nu, dtype),
         inv_dt=jnp.asarray(ctx.inv_dt, dtype),
     )
+
+
+def make_krylov_lo(kind: int, ctx: LinearContext, *, variant: str, cfg):
+    """Low-precision restart-cycle configuration for the outer Krylov solve
+    (GMRES-IR; see ``krylov.LowCycle`` and ``PrecondConfig
+    .krylov_cycle_dtype``).  Returns ``None`` when disabled.
+
+    The cycle operator/preconditioner/dot are the same Jacobian apply,
+    block preconditioner and (seam-weighted) inner product as the
+    full-precision outer solve, re-landed in the cycle dtype.
+    """
+    lo_dt = getattr(cfg, "krylov_cycle_dtype", None) if cfg else None
+    if lo_dt is None:
+        return None
+    wd = jnp.dtype(lo_dt)
+    if wd == jnp.dtype(ctx.disc.dtype):
+        return None
+    from navier_stokes_solver_tpu.krylov import LowCycle
+
+    ctx_lo = _cast_ctx(ctx, wd)
+    M_lo = make_preconditioner(kind, ctx_lo, variant=variant, cfg=cfg)
+
+    def A_lo(x):
+        return ctx_lo.ops.apply_jacobian(
+            ctx_lo.disc, ctx_lo.nu, ctx_lo.inv_dt, ctx_lo.linq,
+            ctx_lo.diag_f, x, stokes=ctx_lo.stokes,
+        )
+
+    return LowCycle(matvec=A_lo, M=M_lo, dot=make_dot(ctx_lo.disc), dtype=wd)
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,7 @@ from navier_stokes_solver_tpu.ops.matfree import (
 )
 from navier_stokes_solver_tpu.ops import LinearizationQ
 
-__all__ = ["attach_mg", "make_mg_vcycle", "mg_level_shapes"]
+__all__ = ["attach_mg", "make_mg_vcycle", "make_lp_vcycle", "mg_level_shapes"]
 
 
 # ---------------------------------------------------------------------------
@@ -123,6 +123,12 @@ def attach_mg(
             Pvy=jnp.asarray(_interp_1d(nyc, ny, deg, nodes), dtype),
             Evx=jnp.asarray(_interp_1d(nx, nxc, deg, nodes), dtype),
             Evy=jnp.asarray(_interp_1d(ny, nyc, deg, nodes), dtype),
+            Ppx=jnp.asarray(
+                _interp_1d(nxc, nx, disc.deg_p, tables.nodes_p), dtype
+            ),
+            Ppy=jnp.asarray(
+                _interp_1d(nyc, ny, disc.deg_p, tables.nodes_p), dtype
+            ),
         )
 
     edge = build(disc.nx, disc.ny, 0)
@@ -385,6 +391,104 @@ def make_mg_vcycle(
         xc = vcycle(li + 1, bc)
         x = x + _zero_constrained(d, prolong(edge, xc))
         return smooth(A, prec, lmax, b, x, dot)
+
+    def M(b):
+        x = vcycle(0, b.astype(disc.dtype))
+        return x.astype(out_dtype)
+
+    return M
+
+
+def make_lp_vcycle(
+    disc: Disc,
+    *,
+    smooth_degree: int = 2,
+    coarse_iters: int = 48,
+    coarse_rtol: float = 5e-2,
+    dtype=None,
+):
+    """One V-cycle on the pressure Laplacian (the (1/dt) Lp^-1 leg of the
+    Cahouet-Chabard Schur approximation; ``ops.matfree.apply_Lp``).
+
+    The hierarchy reuses the velocity MG chain's coarse discretizations
+    (``Disc.mg``) with the pressure-lattice transfer factors
+    (``MGEdge.Ppx/Ppy``).  Lp is SPD, so Chebyshev-Jacobi smoothing (with
+    one finest-level spectral estimate, reused below) is the right
+    smoother; the coarse solve is Jacobi-CG.
+
+    Coarse levels drop the voxelized cylinder (full-rectangle Laplacian,
+    all pressure lanes active).  Each level re-voxelizes the hole on its
+    own lattice, so the coarse hole SHAPE differs from the fine one; with
+    no pressure Dirichlet ring to decouple the mismatch (unlike the
+    velocity block's no-slip rows), corrections interpolated across a
+    differently-shaped hole amplify ring-local modes -- measured divergence
+    rate ~5x/cycle at 48x24.  The un-cut coarse operator errs stiff near
+    the hole (corrections undershoot, which smoothing recovers) and is the
+    standard voxel-MG cure.
+    """
+    from navier_stokes_solver_tpu.ops.matfree import (
+        apply_Lp,
+        diag_Lp,
+        p_outlet_mask,
+    )
+
+    out_dtype = disc.dtype
+    if dtype is not None and dtype != disc.dtype:
+        cast = lambda a: (
+            a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+        )
+        disc = jax.tree_util.tree_map(cast, disc)
+
+    levels = []
+    d = disc
+    lmax = None
+    while True:
+        dloc = d
+        if levels:  # coarse level: full rectangle, no hole
+            dloc = dloc.replace(
+                cell_mask=jnp.ones_like(dloc.cell_mask),
+                p_active=jnp.ones_like(dloc.p_active),
+            )
+        A = lambda x, _d=dloc: apply_Lp(_d, x)
+        dinv = 1.0 / diag_Lp(dloc)
+        dotd = make_dot(dloc)
+        if lmax is None:
+            # the Jacobi-normalized Laplacian spectrum is essentially
+            # mesh-size independent: estimate once on the finest level
+            lmax = _estimate_lmax(A, dinv, dloc.NP, dloc.dtype, dot=dotd)
+        levels.append((dloc, A, dinv, dotd, dloc.mg))
+        if d.mg is None or d.mg.Ppx is None:
+            break
+        d = d.mg.coarse
+
+    def interior(d, x):
+        return jnp.where(d.p_active & ~p_outlet_mask(d), x, 0.0)
+
+    def restrict(edge: MGEdge, d_fine: Disc, r):
+        w = seam_weights(d_fine, d_fine.deg_p)
+        if w is not None:
+            r = r * w
+        rc = jnp.einsum("yY,yx,xX->YX", edge.Ppy, r, edge.Ppx)
+        return _seam_sum(edge.coarse, rc)
+
+    def prolong(edge: MGEdge, x):
+        return jnp.einsum("Yy,yx,Xx->YX", edge.Ppy, x, edge.Ppx)
+
+    def vcycle(li: int, b):
+        d, A, dinv, dot, edge = levels[li]
+        if li == len(levels) - 1:
+            x, _ = cg(
+                A, b, jnp.zeros_like(b),
+                tol=coarse_rtol * jnp.sqrt(dot(b, b)),
+                maxiter=coarse_iters, M=lambda r: dinv * r, dot=dot,
+            )
+            return x
+        x = _chebyshev(A, dinv, lmax, b, jnp.zeros_like(b), smooth_degree)
+        r = interior(d, b - A(x))
+        bc = interior(edge.coarse, restrict(edge, d, r))
+        xc = vcycle(li + 1, bc)
+        x = x + interior(d, prolong(edge, xc))
+        return _chebyshev(A, dinv, lmax, b, x, smooth_degree)
 
     def M(b):
         x = vcycle(0, b.astype(disc.dtype))

@@ -100,17 +100,26 @@ def _solve_tangent(
     tol,
     maxiter,
     variant="unsteady",
+    basis=30,
+    precond_cfg=None,
 ):
+    from navier_stokes_solver_tpu.precond import make_krylov_lo
+
     linq = None if stokes else eval_state(disc, sol)
     dF = diag_F(disc, nu, inv_dt, linq, stokes=stokes)
     ctx = LinearContext(
         disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF,
         state_u=None if stokes else sol.u,
     )
-    M = make_preconditioner(prec_type, ctx, variant=variant)
+    M = make_preconditioner(prec_type, ctx, variant=variant, cfg=precond_cfg)
     A = lambda x: apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
+    kw = {} if solver_type == 2 else {"basis": basis}
+    if solver_type != 2:
+        kw["lo"] = make_krylov_lo(
+            prec_type, ctx, variant=variant, cfg=precond_cfg
+        )
     return _SOLVERS[solver_type](
-        A, rhs, delta0, tol=tol, maxiter=maxiter, M=M, dot=make_dot(disc)
+        A, rhs, delta0, tol=tol, maxiter=maxiter, M=M, dot=make_dot(disc), **kw
     )
 
 
@@ -124,6 +133,8 @@ def make_time_step(
     newton_tol: float = 1e-9,
     krylov_maxiter: int = 2000,
     inlet_amp: float = 0.3,
+    basis: int = 30,
+    precond_cfg=None,
 ):
     """Build ``step(state, nu, dt) -> TimeState`` (jit/vmap/shard friendly).
 
@@ -167,6 +178,8 @@ def make_time_step(
                 prec_type=prec_type,
                 tol=tol,
                 maxiter=krylov_maxiter,
+                basis=basis,
+                precond_cfg=precond_cfg,
             )
             stall = info.iters == 0
 
@@ -226,6 +239,8 @@ def make_stokes_init(
     tol: float = 1e-9,
     krylov_maxiter: int = 2000,
     inlet_amp: float = 0.3,
+    basis: int = 30,
+    precond_cfg=None,
 ):
     """Cold-start Stokes solve with the inlet profile lifted (the reference's
     first Newton iteration of the first time step, NSSolver.cpp:695-706)."""
@@ -260,6 +275,8 @@ def make_stokes_init(
             prec_type=prec_type,
             tol=tol,
             maxiter=krylov_maxiter,
+            basis=basis,
+            precond_cfg=precond_cfg,
         )
         return sol
 

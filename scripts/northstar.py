@@ -57,6 +57,7 @@ def run_unsteady(args):
     # the reference ramp for Re=100 tops out at nu = 1/91 (NSSolver.cpp:684)
     nu, dt = 1.0 / 91.0, 0.01
 
+    cfg = _precond_cfg(args)
     # One fused step must stay within the TPU per-call execution budget:
     # bound Newton x Krylov per call (steps that hit the cap report their
     # residual; warm-started steady stepping converges well below it).
@@ -67,6 +68,8 @@ def run_unsteady(args):
         tol=args.tol,
         newton_max=args.newton_max,
         krylov_maxiter=args.krylov_maxiter,
+        basis=args.basis,
+        precond_cfg=cfg,
     )
     ts = initial_state(disc)
 
@@ -89,6 +92,7 @@ def run_unsteady(args):
             disc, nu, 1.0 / dt, initial_state(disc).solution, rhs, sol0,
             amp, args.tol, stokes=True, solver_type=1, prec_type=1,
             variant="unsteady", maxiter=60, project_x0=first, basis=60,
+            precond_cfg=cfg,
         )
         first = False
         if bool(info.converged) or int(info.iters) < 60:
@@ -132,10 +136,24 @@ def run_unsteady(args):
             "drag_force": float(ts.drag),
             "lift_force": float(ts.lift),
             "tol": args.tol,
+            "schur": args.schur,
+            "ir": bool(args.ir),
+            "basis": args.basis,
         },
     }
     print(json.dumps(out))
     return out
+
+
+def _precond_cfg(args):
+    if not (args.ir or args.schur != "mass"):
+        return None
+    from navier_stokes_solver_tpu.precond import PrecondConfig
+
+    return PrecondConfig(
+        krylov_cycle_dtype="float32" if args.ir else None,
+        schur_mode=args.schur,
+    )
 
 
 def run_stationary(args):
@@ -150,7 +168,8 @@ def run_stationary(args):
         tolerance=args.tol,
         preconditioner_type=2,  # aSIMPLE (BASELINE config 2)
         verbose=True,
-        krylov_basis=60,
+        krylov_basis=max(args.basis, 60),
+        precond_config=_precond_cfg(args),
     )
     s = NSSolverStationary(opts)
     s.setup()
@@ -182,6 +201,10 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-9)
     ap.add_argument("--krylov-maxiter", type=int, default=100)
     ap.add_argument("--newton-max", type=int, default=3)
+    ap.add_argument("--basis", type=int, default=30)
+    ap.add_argument("--ir", action="store_true",
+                    help="GMRES-IR f32 outer cycles")
+    ap.add_argument("--schur", choices=("mass", "cahouet", "pcd"), default="mass")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     out = run_unsteady(args) if args.which == "unsteady" else run_stationary(args)

@@ -80,3 +80,19 @@ def test_stationary_cli_with_mesh_file(tmp_path, capsys, monkeypatch):
     s.solve_newton()
     s.compute_lift_drag()
     assert np.isfinite(s.drag_force)
+
+
+def test_perf_flags_parse():
+    """--basis / --ir / --schur map onto SolverOptions / PrecondConfig."""
+    o = parse_options([], unsteady=False)
+    assert o.krylov_basis == 30 and o.precond_config is None
+    o = parse_options(["--basis", "60", "--ir"], unsteady=False)
+    assert o.krylov_basis == 60
+    assert o.precond_config.krylov_cycle_dtype == "float32"
+    assert o.precond_config.schur_mode == "mass"
+    o = parse_options(["--schur", "cahouet"], unsteady=True)
+    assert o.precond_config.krylov_cycle_dtype is None
+    assert o.precond_config.schur_mode == "cahouet"
+    o = parse_options(["--schur", "pcd", "--ir"], unsteady=True)
+    assert o.precond_config.schur_mode == "pcd"
+    assert o.precond_config.krylov_cycle_dtype == "float32"

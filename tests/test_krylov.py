@@ -110,3 +110,64 @@ def test_chunked_fgmres_equals_continuous():
     x2, i2 = fgmres(mv, b, x1, tol=1e-30, maxiter=60)
     assert int(i1.iters) == 60 and int(i2.iters) == 60
     np.testing.assert_array_equal(np.asarray(x2), np.asarray(x_cont))
+
+
+@pytest.mark.parametrize("solver", [gmres, fgmres])
+def test_gmres_ir_low_precision_cycles(solver):
+    """GMRES-IR: f32 restart cycles + f64 restart residuals reach f64
+    tolerances (Carson & Higham iterative refinement; krylov.LowCycle)."""
+    from navier_stokes_solver_tpu.krylov import LowCycle
+
+    A, b, x_ref = _random_system(n=60, seed=3)
+    mv = lambda x: A @ x
+    A32 = A.astype(jnp.float32)
+    lo = LowCycle(matvec=lambda x: A32 @ x, dtype=jnp.float32)
+    x, info = jax.jit(
+        lambda b: solver(
+            mv, b, jnp.zeros_like(b), tol=1e-12, maxiter=500, basis=20, lo=lo
+        )
+    )(b)
+    assert bool(info.converged)
+    # the converged residual is the true f64 residual, not an estimate
+    r = np.linalg.norm(np.asarray(b) - np.asarray(A) @ np.asarray(x))
+    assert r <= 1.2e-12
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-9)
+
+
+def test_gmres_ir_zero_initial_residual_reports_zero_iters():
+    from navier_stokes_solver_tpu.krylov import LowCycle
+
+    A, b, x_ref = _random_system(n=30, seed=4)
+    mv = lambda x: A @ x
+    A32 = A.astype(jnp.float32)
+    lo = LowCycle(matvec=lambda x: A32 @ x, dtype=jnp.float32)
+    x, info = fgmres(
+        mv, b, jnp.asarray(x_ref), tol=1e-6, maxiter=100, basis=10, lo=lo
+    )
+    assert int(info.iters) == 0
+    assert bool(info.converged)
+
+
+def test_gmres_ir_preconditioned_pytree():
+    """IR with a (low-precision) preconditioner over pytree operands."""
+    from navier_stokes_solver_tpu.krylov import LowCycle
+
+    A, b, x_ref = _random_system(n=50, seed=5)
+    n1 = 20
+    mv = lambda t: {"a": (A @ jnp.concatenate([t["a"], t["b"]]))[:n1],
+                    "b": (A @ jnp.concatenate([t["a"], t["b"]]))[n1:]}
+    dinv = 1.0 / jnp.diag(A)
+    M = lambda t: {"a": t["a"] * dinv[:n1].astype(t["a"].dtype),
+                   "b": t["b"] * dinv[n1:].astype(t["b"].dtype)}
+    A32 = A.astype(jnp.float32)
+    mv32 = lambda t: {"a": (A32 @ jnp.concatenate([t["a"], t["b"]]))[:n1],
+                      "b": (A32 @ jnp.concatenate([t["a"], t["b"]]))[n1:]}
+    lo = LowCycle(matvec=mv32, M=M, dtype=jnp.float32)
+    bt = {"a": b[:n1], "b": b[n1:]}
+    x, info = fgmres(
+        mv, bt, jax.tree_util.tree_map(jnp.zeros_like, bt),
+        tol=1e-11, maxiter=400, basis=15, M=M, lo=lo,
+    )
+    assert bool(info.converged)
+    xs = np.concatenate([np.asarray(x["a"]), np.asarray(x["b"])])
+    np.testing.assert_allclose(xs, x_ref, atol=1e-8)

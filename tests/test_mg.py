@@ -162,3 +162,41 @@ def test_schwarz_cell_matrices_match_operator():
     np.testing.assert_allclose(
         np.asarray(jnp.where(free, y_asm - y_ref, 0.0)), 0.0, atol=1e-12
     )
+
+
+def test_lp_vcycle_preconditions_poisson():
+    """The pressure-Laplacian V-cycle (Cahouet-Chabard leg) must make an
+    FGMRES solve of Lp x = b dramatically cheaper than Jacobi."""
+    import jax.numpy as jnp
+    from navier_stokes_solver_tpu.krylov import fgmres
+    from navier_stokes_solver_tpu.ops.matfree import (
+        apply_Lp,
+        diag_Lp,
+        p_outlet_mask,
+    )
+    from navier_stokes_solver_tpu.precond.mg import make_lp_vcycle
+
+    geo = make_channel_geometry(48, 24)
+    space = make_fe_space(geo, 3, 2)
+    disc = attach_mg(make_disc(space))
+    assert disc.mg is not None and disc.mg.Ppx is not None
+    A = lambda x: apply_Lp(disc, x)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(disc.NP))
+    b = jnp.where(disc.p_active & ~p_outlet_mask(disc), b, 0.0)
+    tol = 1e-8 * float(jnp.linalg.norm(b))
+
+    M = make_lp_vcycle(disc)
+    x, info_mg = fgmres(A, b, jnp.zeros_like(b), tol=tol, maxiter=300, M=M)
+    assert bool(info_mg.converged)
+    r = float(jnp.linalg.norm(b - A(x)))
+    assert r <= 2 * tol
+
+    dinv = 1.0 / diag_Lp(disc)
+    _, info_j = fgmres(
+        A, b, jnp.zeros_like(b), tol=tol, maxiter=300,
+        M=lambda v: dinv * v,
+    )
+    assert int(info_mg.iters) * 3 <= int(info_j.iters) or not bool(
+        info_j.converged
+    )

@@ -193,3 +193,51 @@ def test_forcing_term_projection():
         np.asarray(disc.forcing_rhs)[:, free[0] if free.ndim == 3 else free],
         atol=1e-14,
     )
+
+
+def test_pressure_laplacian_matches_dense():
+    """apply_Lp vs an independent dense loop assembly (the Cahouet-Chabard
+    Schur leg -- no reference analog; weak form (grad psi_j, grad psi_i)
+    over active cells with symmetric elimination of the outlet column)."""
+    from navier_stokes_solver_tpu.ops.matfree import (
+        apply_Lp,
+        diag_Lp,
+        p_outlet_mask,
+    )
+
+    sp, disc, oracle, rand_state = _setup(deg=(2, 1))
+    geo, t = sp.geo, sp.tables
+    NPy, NPx = sp.NPy, sp.NPx
+    n = NPy * NPx
+    dphi = t.dphi_p.copy()
+    dphi[:, :, 0] /= geo.hx
+    dphi[:, :, 1] /= geo.hy
+    JxW = t.w_q * geo.hx * geo.hy
+    L = np.zeros((n, n))
+    k = t.deg_p
+    for iy in range(geo.ny):
+        for ix in range(geo.nx):
+            if not geo.cell_active[iy, ix]:
+                continue
+            nodes = [
+                (k * iy + a) * NPx + (k * ix + b)
+                for a in range(k + 1)
+                for b in range(k + 1)
+            ]
+            for q in range(t.n_q):
+                for i, gi in enumerate(nodes):
+                    for j, gj in enumerate(nodes):
+                        L[gi, gj] += JxW[q] * np.dot(dphi[q, i], dphi[q, j])
+    # symmetric elimination: identity on outlet + non-existent rows/cols
+    free = (np.asarray(disc.p_active) & ~np.asarray(p_outlet_mask(disc))).ravel()
+    L[~free, :] = 0.0
+    L[:, ~free] = 0.0
+    L[~free, ~free] = 1.0
+
+    _, p = rand_state()
+    got = np.asarray(apply_Lp(disc, jnp.asarray(p)))
+    want = (L @ p.ravel()).reshape(NPy, NPx)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(diag_Lp(disc)).ravel(), np.diag(L), atol=1e-12
+    )

@@ -52,3 +52,61 @@ def test_inner_tolerance_invariance():
     ub, pb = b.fields()
     np.testing.assert_allclose(ub, ua, atol=1e-8)
     np.testing.assert_allclose(pb, pa, atol=1e-7)
+
+
+def test_gmres_ir_invariance():
+    """f32 outer cycles (GMRES-IR) must converge to the same fields as the
+    f64 outer at identical absolute tolerance."""
+    a = _solve()
+    b = _solve(precond_config=PrecondConfig(krylov_cycle_dtype="float32"))
+    ua, pa = a.fields()
+    ub, pb = b.fields()
+    np.testing.assert_allclose(ub, ua, atol=1e-7)
+    np.testing.assert_allclose(pb, pa, atol=1e-6)
+    np.testing.assert_allclose(b.drag_force, a.drag_force, rtol=1e-6)
+
+
+def test_tri_rel_zero_rejected():
+    with pytest.raises(ValueError, match="tri_rel_u"):
+        _solve(precond_config=PrecondConfig(tri_rel_u=0.0))
+
+
+def test_cahouet_schur_invariance_unsteady():
+    """The Cahouet-Chabard Schur mode must reach the same converged step
+    fields as the reference's pressure-mass Schur (same operator, same
+    absolute tolerance), typically in fewer outer iterations."""
+    from navier_stokes_solver_tpu.api import NSSolver
+
+    common = dict(
+        mesh_size=(20, 8),
+        degree_velocity=2,
+        degree_pressure=1,
+        Re=10.0,
+        solver_type=1,
+        tolerance=1e-9,
+        preconditioner_type=1,
+        verbose=False,
+        time_span=0.02,
+        time_step=0.01,
+    )
+    res = {}
+    for name, cfg in (
+        ("mass", None),
+        ("cahouet", PrecondConfig(schur_mode="cahouet")),
+    ):
+        s = NSSolver(SolverOptions(precond_config=cfg, **common))
+        s.setup()
+        s.solve()
+        it = sum(h.get("krylov_iters", 0) for h in s.history)
+        res[name] = (*s.fields(), it, s.drag_force)
+    # both solves converge each step to |r| <= 1e-9; the field difference
+    # is that residual amplified by the system's conditioning (pressure is
+    # the weakly-controlled inf-sup block -- measured ~2e-5 at this size)
+    np.testing.assert_allclose(res["cahouet"][0], res["mass"][0], atol=1e-5)
+    np.testing.assert_allclose(res["cahouet"][1], res["mass"][1], atol=1e-3)
+    np.testing.assert_allclose(
+        res["cahouet"][3], res["mass"][3], rtol=1e-4, atol=1e-12
+    )
+    # the Laplacian leg is why the mode exists: it must not cost outer
+    # iterations (measured 407 -> 212 at this config)
+    assert res["cahouet"][2] <= res["mass"][2]
