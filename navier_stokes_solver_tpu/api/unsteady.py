@@ -178,9 +178,9 @@ class NSSolver(NSSolverBase):
             run_time_loop,
         )
 
-        if not isinstance(self.disc, Disc):
+        if self.dist_mesh is not None and not isinstance(self.disc, Disc):
             raise NotImplementedError(
-                "solve_fused requires the structured backend"
+                "distributed solve_fused requires the structured backend"
             )
         if self.Re < 1.0:
             # the host/reference ramp (current_Re = 1.0; current_Re <= target)

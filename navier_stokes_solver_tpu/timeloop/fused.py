@@ -25,18 +25,20 @@ import jax.numpy as jnp
 from jax import lax
 
 from navier_stokes_solver_tpu.krylov import bicgstab, fgmres, gmres
-from navier_stokes_solver_tpu.ops import (
-    Blocks,
-    apply_jacobian,
-    diag_F,
-    eval_state,
-    lift_drag_forces,
-    make_dot,
-    residual,
-)
+from navier_stokes_solver_tpu.ops import Blocks, make_dot, matfree
 from navier_stokes_solver_tpu.ops.disc import Disc
-from navier_stokes_solver_tpu.ops.matfree import dirichlet_values
 from navier_stokes_solver_tpu.precond import LinearContext, make_preconditioner
+
+
+def _ops_for(disc):
+    """Backend kernels: structured lattice (matfree) or simplex mesh
+    (mirrors api.kernels._ops_for; kept local to avoid importing the api
+    package from the timeloop layer)."""
+    if isinstance(disc, Disc):
+        return matfree
+    from navier_stokes_solver_tpu.unstructured import ops as simplex_ops
+
+    return simplex_ops
 
 __all__ = [
     "TimeState",
@@ -65,13 +67,9 @@ class TimeState(NamedTuple):
     stats: StepStats
 
 
-def initial_state(disc: Disc) -> TimeState:
-    NVy, NVx = disc.NV
-    dt = disc.dtype
-    zero = Blocks(
-        u=jnp.zeros((2, NVy, NVx), dt), p=jnp.zeros(disc.NP, dt)
-    )
-    z = jnp.zeros((), dt)
+def initial_state(disc) -> TimeState:
+    zero = Blocks(u=disc.zeros_u(), p=disc.zeros_p())
+    z = jnp.zeros((), disc.dtype)
     return TimeState(
         solution=zero,
         time=z,
@@ -105,14 +103,17 @@ def _solve_tangent(
 ):
     from navier_stokes_solver_tpu.precond import make_krylov_lo
 
-    linq = None if stokes else eval_state(disc, sol)
-    dF = diag_F(disc, nu, inv_dt, linq, stokes=stokes)
+    ops = _ops_for(disc)
+    linq = None if stokes else ops.eval_state(disc, sol)
+    dF = ops.diag_F(disc, nu, inv_dt, linq, stokes=stokes)
     ctx = LinearContext(
         disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes, linq=linq, diag_f=dF,
-        state_u=None if stokes else sol.u,
+        state_u=None if stokes else sol.u, ops=ops,
     )
     M = make_preconditioner(prec_type, ctx, variant=variant, cfg=precond_cfg)
-    A = lambda x: apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
+    A = lambda x: ops.apply_jacobian(
+        disc, nu, inv_dt, linq, dF, x, stokes=stokes
+    )
     kw = {} if solver_type == 2 else {"basis": basis}
     if solver_type != 2:
         kw["lo"] = make_krylov_lo(
@@ -143,11 +144,13 @@ def make_time_step(
     NSSolver.cpp:573-580; U_m = 0.3 per NSSolver.hpp:88); afterwards the
     increment formulation keeps boundary updates at zero."""
 
+    ops = _ops_for(disc)
+
     def assemble(sol: Blocks, u_old, nu, inv_dt, amp=0.0):
         dot = make_dot(disc)
-        linq = eval_state(disc, sol)
-        dF = diag_F(disc, nu, inv_dt, linq, stokes=False)
-        rhs = residual(
+        linq = ops.eval_state(disc, sol)
+        dF = ops.diag_F(disc, nu, inv_dt, linq, stokes=False)
+        rhs = ops.residual(
             disc, nu, inv_dt, sol, u_old, dF, stokes=False, inlet_amp=amp
         )
         return rhs, jnp.sqrt(dot(rhs, rhs))
@@ -216,7 +219,7 @@ def make_time_step(
             (ts.solution, rhs0, rn0, rn0 + 1.0, jnp.int32(0), jnp.int32(0), False),
         )
 
-        drag, lift = lift_drag_forces(disc, nu, sol)
+        drag, lift = ops.lift_drag_forces(disc, nu, sol)
         return TimeState(
             solution=sol,
             time=ts.time + dt,
@@ -245,19 +248,21 @@ def make_stokes_init(
     """Cold-start Stokes solve with the inlet profile lifted (the reference's
     first Newton iteration of the first time step, NSSolver.cpp:695-706)."""
 
+    ops = _ops_for(disc)
+
     def init(nu) -> Blocks:
-        dF = diag_F(disc, nu, 0.0, None, stokes=True)
-        rhs = residual(
+        dF = ops.diag_F(disc, nu, 0.0, None, stokes=True)
+        rhs = ops.residual(
             disc,
             nu,
             0.0,
             None,
-            jnp.zeros((2,) + disc.NV, disc.dtype),
+            disc.zeros_u(),
             dF,
             stokes=True,
             inlet_amp=inlet_amp,
         )
-        g = dirichlet_values(disc, inlet_amp)
+        g = ops.dirichlet_values(disc, inlet_amp)
         x0 = Blocks(
             u=jnp.where(disc.u_dirichlet, g, 0.0),
             p=jnp.zeros(disc.NP, disc.dtype),

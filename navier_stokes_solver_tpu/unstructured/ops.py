@@ -59,8 +59,17 @@ def _eval_p(disc: SimplexDisc, p: jax.Array):
 
 
 def _scatter_v(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
-    """[2, T, 6] element contributions -> [2, Nv]."""
+    """[2, T, 6] element contributions -> [2, Nv].
+
+    Hot path is a padded gather + sum over the precomputed scatter
+    inverse (``SimplexDisc.gather_v``) -- no scatter/sort HLO reaches
+    the TPU program.  ``segment_sum`` remains as the fallback for discs
+    built before the tables existed.
+    """
     flat = loc.reshape(2, -1)
+    if disc.gather_v is not None:
+        pad = jnp.pad(flat, ((0, 0), (0, 1)))
+        return pad[:, disc.gather_v].sum(axis=-1)
     idx = disc.dofs_v.reshape(-1)
     return jax.vmap(
         lambda row: jax.ops.segment_sum(row, idx, num_segments=disc.n_nodes_v)
@@ -68,9 +77,13 @@ def _scatter_v(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
 
 
 def _scatter_p(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
-    """[T, 3] -> [Np]."""
+    """[T, 3] -> [Np] (padded-gather hot path, as ``_scatter_v``)."""
+    flat = loc.reshape(-1)
+    if disc.gather_p is not None:
+        pad = jnp.pad(flat, (0, 1))
+        return pad[disc.gather_p].sum(axis=-1)
     return jax.ops.segment_sum(
-        loc.reshape(-1), disc.dofs_p.reshape(-1), num_segments=disc.n_nodes_p
+        flat, disc.dofs_p.reshape(-1), num_segments=disc.n_nodes_p
     )
 
 

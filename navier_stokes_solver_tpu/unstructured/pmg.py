@@ -60,13 +60,18 @@ def restrict(disc: SimplexDisc, rf: jax.Array) -> jax.Array:
     nv = _n_verts(disc)
     ev = disc.edge_verts
     mid = 0.5 * rf[:, nv:]
-    add = jax.vmap(
-        lambda row: jax.ops.segment_sum(
-            jnp.concatenate([row, row]),
-            jnp.concatenate([ev[:, 0], ev[:, 1]]),
-            num_segments=nv,
-        )
-    )(mid)
+    src = jnp.concatenate([mid, mid], axis=1)  # [2, 2*n_edges]
+    if disc.gather_ev is not None:
+        pad = jnp.pad(src, ((0, 0), (0, 1)))
+        add = pad[:, disc.gather_ev].sum(axis=-1)
+    else:
+        add = jax.vmap(
+            lambda row: jax.ops.segment_sum(
+                row,
+                jnp.concatenate([ev[:, 0], ev[:, 1]]),
+                num_segments=nv,
+            )
+        )(src)
     return rf[:, :nv] + add
 
 
@@ -83,6 +88,9 @@ def _eval_v1(disc: SimplexDisc, u: jax.Array):
 
 def _scatter_v1(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
     flat = loc.reshape(2, -1)
+    if disc.gather_p is not None:
+        pad = jnp.pad(flat, ((0, 0), (0, 1)))
+        return pad[:, disc.gather_p].sum(axis=-1)
     idx = disc.dofs_p.reshape(-1)
     return jax.vmap(
         lambda row: jax.ops.segment_sum(row, idx, num_segments=_n_verts(disc))

@@ -31,7 +31,12 @@ from navier_stokes_solver_tpu.unstructured.elements import (
     make_simplex_tables,
 )
 
-__all__ = ["SimplexDisc", "make_simplex_disc", "triangulate_channel"]
+__all__ = [
+    "SimplexDisc",
+    "invert_scatter",
+    "make_simplex_disc",
+    "triangulate_channel",
+]
 
 _DIRICHLET_IDS = (6, 7, 10)
 
@@ -63,6 +68,15 @@ class SimplexDisc:
     # n_verts + i sits on edge i) -- drives the P2 -> P1 p-multigrid
     # transfers (unstructured/pmg.py)
     edge_verts: jax.Array | None = None
+    # scatter-inverse tables: for node n, ``gather_v[n, k]`` indexes the
+    # flattened [n_tri * 6] element-contribution array (sentinel = its
+    # length, pointing at an appended zero).  Turning every scatter-add
+    # into a padded gather + small-axis sum keeps the hot programs free
+    # of scatter/sort HLO -- the construct behind the simplex backend's
+    # pathological TPU compile times (docs/ROADMAP.md round-2 finding).
+    gather_v: jax.Array | None = None  # [n_nodes_v, Kv] int32
+    gather_p: jax.Array | None = None  # [n_nodes_p, Kp] int32
+    gather_ev: jax.Array | None = None  # [n_verts, Ke] into [2*n_edges]
     # enable the P1-coarse velocity preconditioner (the simplex analog of
     # the structured geometric-MG ILU/AMG equivalence layer)
     p_mg: bool = struct.field(pytree_node=False, default=False)
@@ -149,6 +163,27 @@ def triangulate_channel(geo: ChannelGeometry):
         np.asarray(edges, dtype=np.int32).reshape(-1, 2),
         np.asarray(edge_tag, dtype=np.int32),
     )
+
+
+def invert_scatter(idx: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Invert a scatter-add index map into a padded gather table.
+
+    ``idx`` (any shape, values in [0, n_nodes)) assigns each flat source
+    slot to a destination node.  Returns ``[n_nodes, K]`` int32 where row
+    ``n`` lists the flat source positions contributing to node ``n``,
+    padded with the sentinel ``idx.size`` (callers append one zero to the
+    flattened source so the sentinel gathers 0.0).
+    """
+    flat = np.asarray(idx).reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    sorted_nodes = flat[order]
+    counts = np.bincount(sorted_nodes, minlength=n_nodes)
+    k_max = int(counts.max()) if counts.size else 0
+    out = np.full((n_nodes, max(k_max, 1)), flat.size, dtype=np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(flat.size) - starts[sorted_nodes]
+    out[sorted_nodes, pos] = order
+    return out
 
 
 def make_simplex_disc(
@@ -293,4 +328,9 @@ def make_simplex_disc(
         cyl_len=jnp.asarray(cyl_len, dtype),
         cyl_normal=jnp.asarray(cyl_normal, dtype),
         edge_verts=jnp.asarray(uniq.astype(np.int32)),
+        gather_v=jnp.asarray(invert_scatter(dofs_v, n_nodes_v)),
+        gather_p=jnp.asarray(invert_scatter(tri, n_verts)),
+        gather_ev=jnp.asarray(
+            invert_scatter(uniq.T, n_verts)  # [2*n_edges] = [ep0..., ep1...]
+        ),
     )

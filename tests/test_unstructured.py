@@ -231,3 +231,79 @@ def test_p_multigrid_transfers_and_strength():
     _, ip = fgmres(A, b, jnp.zeros_like(b), tol=1e-6 * bn, maxiter=300, M=M)
     assert bool(ip.converged)
     assert int(ip.iters) * 3 < int(ij.iters)  # measured: 6 vs 129
+
+
+def test_gather_scatter_matches_segment_sum():
+    """The padded-gather scatter inverse (SimplexDisc.gather_*) must agree
+    with the segment_sum fallback on every operator that scatters; keeping
+    scatter/sort HLO out of the hot TPU programs must not change values."""
+    from navier_stokes_solver_tpu.unstructured import pmg
+
+    disc, _ = _disc()
+    slow = disc.replace(gather_v=None, gather_p=None, gather_ev=None)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((2, disc.n_nodes_v)))
+    p = jnp.asarray(rng.standard_normal(disc.n_nodes_p))
+    linq = uops.eval_state(disc, Blocks(u=u, p=p))
+    checks = [
+        lambda d: uops.apply_F(
+            d, 0.01, 10.0, linq, u, stokes=False, bc_diag=2.0
+        ),
+        lambda d: uops.apply_B(d, u, stokes=False),
+        lambda d: uops.apply_Bt(d, p),
+        lambda d: uops.apply_Mp(d, 0.01, p),
+        lambda d: uops.diag_F(d, 0.01, 10.0, linq, stokes=False),
+        lambda d: uops.diag_Mp(d, 0.01),
+        lambda d: pmg.restrict(d, u),
+    ]
+    for fn in checks:
+        np.testing.assert_allclose(
+            np.asarray(fn(disc)), np.asarray(fn(slow)), atol=1e-13
+        )
+
+
+def test_simplex_fused_matches_host_drag():
+    """The fused on-device time loop must run on the simplex backend
+    (backend-dispatched ops in timeloop/fused.py) and integrate the same
+    implicit-Euler dynamics as the host fidelity path."""
+    from navier_stokes_solver_tpu.api import NSSolver, SolverOptions
+
+    common = dict(mesh_size=(16, 8), Re=5.0, time_span=0.02, time_step=0.01,
+                  solver_type=1, tolerance=1e-10, preconditioner_type=2,
+                  verbose=False, multigrid=False, read_mesh_from_file=True)
+    host = NSSolver(SolverOptions(**common))
+    host.setup()
+    host.solve()
+
+    fused = NSSolver(SolverOptions(**common))
+    fused.setup()
+    fused.solve_fused(newton_max=10, newton_tol=1e-9)
+
+    np.testing.assert_allclose(fused.drag_force, host.drag_force, rtol=1e-4)
+
+
+def test_simplex_ensemble_sweep_matches_individual():
+    """vmap Reynolds sweep over the simplex backend (BASELINE config 5
+    analog on the -M path): each batch member matches its standalone fused
+    run."""
+    import jax
+
+    from navier_stokes_solver_tpu.ensemble.sweep import run_sweep
+    from navier_stokes_solver_tpu.timeloop import initial_state, make_time_step
+
+    disc, _ = _disc()
+    kw = dict(solver_type=1, prec_type=2, tol=1e-9, newton_max=3,
+              krylov_maxiter=200)
+    nus = [0.05, 0.1]
+    final, hist = run_sweep(disc, nus, 0.01, 2, **kw)
+    assert hist["drag"].shape == (2, 2)
+    assert np.all(np.isfinite(np.asarray(hist["drag"])))
+
+    step = make_time_step(disc, **kw)
+    for b, nu in enumerate(nus):
+        ts = initial_state(disc)
+        for _ in range(2):
+            ts = jax.jit(step)(ts, nu, 0.01)
+        np.testing.assert_allclose(
+            float(ts.drag), float(final.drag[b]), rtol=1e-6, atol=2e-9
+        )
