@@ -91,10 +91,16 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--ir",
-        action="store_true",
-        help="GMRES-IR: run the outer Krylov restart cycles in f32 with "
-        "f64 restart residuals (iterative refinement; reaches the same "
-        "absolute tolerance, automatic f64 fallback on stall)",
+        nargs="?",
+        const="float32",
+        default=None,
+        choices=("float32", "mixed"),
+        help="GMRES-IR: run the outer Krylov restart cycles in reduced "
+        "precision with f64 restart residuals (iterative refinement; "
+        "reaches the same absolute tolerance, automatic f64 fallback on "
+        "stall).  Bare --ir = f32 cycles; '--ir mixed' keeps the Arnoldi "
+        "basis/orthogonalization in f64 and runs only the matvec + "
+        "preconditioner in f32",
     )
     p.add_argument(
         "--schur",
@@ -171,11 +177,11 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
 
         opts.dtype = jnp.float32
     opts.krylov_basis = args.basis
-    if args.ir or args.schur != "mass":
+    if args.ir is not None or args.schur != "mass":
         from navier_stokes_solver_tpu.precond import PrecondConfig
 
         opts.precond_config = PrecondConfig(
-            krylov_cycle_dtype="float32" if args.ir else None,
+            krylov_cycle_dtype=args.ir,
             schur_mode=args.schur,
         )
     if args.dd:

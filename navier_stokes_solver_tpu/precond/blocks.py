@@ -82,9 +82,13 @@ class PrecondConfig:
     # solution accumulation stay in the operator dtype (f64) -- so the
     # converged residual still reaches f64 tolerances.  On TPU f64 is
     # emulated; "float32" cuts the per-outer-iteration cost by the
-    # emulation factor.  None = full-precision outer (reference parity).
-    # The host driver falls back to full precision automatically when the
-    # low-precision cycles stall above the tolerance.
+    # emulation factor.  "mixed" runs only the matvec + preconditioner of
+    # each cycle in f32 and keeps the Arnoldi basis / orthogonalization /
+    # Givens in f64 -- fewer extra outer iterations than full-f32 cycles
+    # (inexact-Krylov regime) at intermediate per-iteration cost.
+    # None = full-precision outer (reference parity).  The host driver
+    # falls back to full precision automatically when the low-precision
+    # cycles stall above the tolerance.
     krylov_cycle_dtype: Any = None
     # Schur-complement treatment for the pressure block of blockDiagonal /
     # blockTriangular:
@@ -600,8 +604,17 @@ def make_krylov_lo(kind: int, ctx: LinearContext, *, variant: str, cfg):
     lo_dt = getattr(cfg, "krylov_cycle_dtype", None) if cfg else None
     if lo_dt is None:
         return None
-    wd = jnp.dtype(lo_dt)
-    if wd == jnp.dtype(ctx.disc.dtype):
+    # "mixed": matvec + preconditioner in f32, Arnoldi basis /
+    # orthogonalization / Givens in the operator dtype.  Sits between
+    # full-f32 cycles (cheapest per iteration, weakest subspace) and f64
+    # cycles: the f32 operator perturbation costs far fewer extra outer
+    # iterations than an f32-orthogonalized basis (inexact-Krylov
+    # regime), while the matvec -- the emulated-f64 heavy leg -- still
+    # runs native f32.
+    mixed = isinstance(lo_dt, str) and lo_dt == "mixed"
+    wd = jnp.dtype("float32") if mixed else jnp.dtype(lo_dt)
+    hi = jnp.dtype(ctx.disc.dtype)
+    if not mixed and wd == hi:
         return None
     from navier_stokes_solver_tpu.krylov import LowCycle
 
@@ -612,6 +625,17 @@ def make_krylov_lo(kind: int, ctx: LinearContext, *, variant: str, cfg):
         return ctx_lo.ops.apply_jacobian(
             ctx_lo.disc, ctx_lo.nu, ctx_lo.inv_dt, ctx_lo.linq,
             ctx_lo.diag_f, x, stokes=ctx_lo.stokes,
+        )
+
+    if mixed:
+        cast = lambda t, dt: jax.tree_util.tree_map(
+            lambda a: a.astype(dt), t
+        )
+        return LowCycle(
+            matvec=lambda x: cast(A_lo(cast(x, wd)), hi),
+            M=lambda x: cast(M_lo(cast(x, wd)), hi),
+            dot=make_dot(ctx.disc),
+            dtype=hi,
         )
 
     return LowCycle(matvec=A_lo, M=M_lo, dot=make_dot(ctx_lo.disc), dtype=wd)
