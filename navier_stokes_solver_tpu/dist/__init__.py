@@ -21,6 +21,12 @@ from navier_stokes_solver_tpu.dist.halo import (
     scatter_blocks,
 )
 from navier_stokes_solver_tpu.dist.mesh import make_mesh
+from navier_stokes_solver_tpu.dist.simplex import (
+    DecomposedSimplex,
+    decompose_simplex_disc,
+    gather_simplex_blocks,
+    scatter_simplex_blocks,
+)
 
 __all__ = [
     "make_mesh",
@@ -31,4 +37,8 @@ __all__ = [
     "init_dist_state",
     "make_dist_time_step",
     "device_put_dist",
+    "DecomposedSimplex",
+    "decompose_simplex_disc",
+    "gather_simplex_blocks",
+    "scatter_simplex_blocks",
 ]

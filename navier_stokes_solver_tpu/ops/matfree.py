@@ -209,7 +209,14 @@ def make_dot(disc: Disc):
     ``psum`` over the mesh axes (the analog of Trilinos dot-product
     allreduces inside Krylov, SURVEY.md section 5).  In 2-D the weights are
     the tensor product of the per-axis seam weights (corner copies weigh
-    1/4, exactly)."""
+    1/4, exactly).  Simplex discs delegate to the unstructured backend's
+    seam-weighted dot."""
+    if not isinstance(disc, Disc):
+        from navier_stokes_solver_tpu.unstructured.ops import (
+            make_dot as simplex_make_dot,
+        )
+
+        return simplex_make_dot(disc)
     has_x = disc.halo_axis is not None and disc.halo_n > 1
     has_y = disc.halo_axis_y is not None and disc.halo_ny > 1
     if not (has_x or has_y):

@@ -30,6 +30,7 @@ __all__ = [
     "diag_Mp",
     "lift_drag_forces",
     "dirichlet_values",
+    "make_dot",
 ]
 
 
@@ -58,22 +59,52 @@ def _eval_p(disc: SimplexDisc, p: jax.Array):
     return jnp.einsum("qn,tn->qt", _tab(disc, "phi_p"), loc)
 
 
+def _seam_sum(disc: SimplexDisc, seam, v: jax.Array) -> jax.Array:
+    """Complete seam partial sums across strip tiles (``[..., n_loc]``).
+
+    The simplex analog of the structured lattice's ``ppermute`` seam
+    exchange (dist/halo.py; Trilinos ``compress(VectorOperation::add)``,
+    NSSolver.cpp:560-562): each tile sends its partial sums at
+    shared-with-neighbor nodes both ways around the ring and adds what it
+    receives.  Strip ends exchange all-sentinel (zero) buffers with the
+    wraparound partner, so the ring is exact without special-casing.
+    """
+    n = disc.halo_n
+    pad_v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, 1)])
+    buf_r = pad_v[..., seam.send_r]  # for my right neighbor
+    buf_l = pad_v[..., seam.send_l]  # for my left neighbor
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    from_l = jax.lax.ppermute(buf_r, disc.halo_axis, fwd)
+    from_r = jax.lax.ppermute(buf_l, disc.halo_axis, bwd)
+    from_l = jnp.pad(from_l, [(0, 0)] * (v.ndim - 1) + [(0, 1)])
+    from_r = jnp.pad(from_r, [(0, 0)] * (v.ndim - 1) + [(0, 1)])
+    return v + from_l[..., seam.add_l] + from_r[..., seam.add_r]
+
+
 def _scatter_v(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
     """[2, T, 6] element contributions -> [2, Nv].
 
     Hot path is a padded gather + sum over the precomputed scatter
     inverse (``SimplexDisc.gather_v``) -- no scatter/sort HLO reaches
     the TPU program.  ``segment_sum`` remains as the fallback for discs
-    built before the tables existed.
+    built before the tables existed.  Under strip decomposition the
+    tile-local sums are completed by the seam exchange.
     """
     flat = loc.reshape(2, -1)
     if disc.gather_v is not None:
         pad = jnp.pad(flat, ((0, 0), (0, 1)))
-        return pad[:, disc.gather_v].sum(axis=-1)
-    idx = disc.dofs_v.reshape(-1)
-    return jax.vmap(
-        lambda row: jax.ops.segment_sum(row, idx, num_segments=disc.n_nodes_v)
-    )(flat)
+        y = pad[:, disc.gather_v].sum(axis=-1)
+    else:
+        idx = disc.dofs_v.reshape(-1)
+        y = jax.vmap(
+            lambda row: jax.ops.segment_sum(
+                row, idx, num_segments=disc.n_nodes_v
+            )
+        )(flat)
+    if disc.seam_v is not None:
+        y = _seam_sum(disc, disc.seam_v, y)
+    return y
 
 
 def _scatter_p(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
@@ -81,10 +112,38 @@ def _scatter_p(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
     flat = loc.reshape(-1)
     if disc.gather_p is not None:
         pad = jnp.pad(flat, (0, 1))
-        return pad[disc.gather_p].sum(axis=-1)
-    return jax.ops.segment_sum(
-        flat, disc.dofs_p.reshape(-1), num_segments=disc.n_nodes_p
-    )
+        y = pad[disc.gather_p].sum(axis=-1)
+    else:
+        y = jax.ops.segment_sum(
+            flat, disc.dofs_p.reshape(-1), num_segments=disc.n_nodes_p
+        )
+    if disc.seam_p is not None:
+        y = _seam_sum(disc, disc.seam_p, y)
+    return y
+
+
+def make_dot(disc: SimplexDisc):
+    """Inner product over (u, p) pytrees: plain ``vdot`` single-tile,
+    seam-weighted local sum + ``psum`` under strip decomposition (the
+    Trilinos owned-DoF dot-product allreduce analog, SURVEY.md section 5)."""
+    if disc.seam_v is None:
+        from navier_stokes_solver_tpu.krylov.solvers import tvdot
+
+        return tvdot
+
+    wv = disc.seam_v.weight
+    wp = disc.seam_p.weight
+
+    def dot(x, y):
+        s = jnp.zeros((), disc.dtype)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(x), jax.tree_util.tree_leaves(y)
+        ):
+            w = wv if a.shape[-1] == wv.shape[-1] else wp
+            s = s + jnp.sum(a * b * w)
+        return jax.lax.psum(s, disc.halo_axis)
+
+    return dot
 
 
 def _project_v(disc: SimplexDisc, f_val, f_grad) -> jax.Array:
@@ -233,7 +292,10 @@ def diag_Mp(disc, nu):
     wdet = w[:, None] * disc.detJ[None, :]
     phi = _tab(disc, "phi_p")
     loc = jnp.einsum("qn,qn,qt->tn", phi, phi, wdet) / nu
-    return _scatter_p(disc, loc)
+    d = _scatter_p(disc, loc)
+    # padding nodes of a decomposed tile touch no element: keep their
+    # (identity) rows invertible for Jacobi/CG inners
+    return jnp.where(d == 0.0, 1.0, d)
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +306,8 @@ def diag_Mp(disc, nu):
 def lift_drag_forces(disc, nu, st: Blocks):
     if disc.cyl_tri.shape[0] == 0:
         z = jnp.zeros((), disc.dtype)
+        if disc.halo_axis is not None:
+            z = jax.lax.psum(z, disc.halo_axis)
         return z, z
     t = disc.tables
     phi_e = jnp.asarray(t.phi_v_edge, disc.dtype)[disc.cyl_edge]  # [E, qe, 6]
@@ -266,4 +330,6 @@ def lift_drag_forces(disc, nu, st: Blocks):
     force = -jnp.einsum(
         "eqcd,ed,q,e->c", sig, disc.cyl_normal, w_e, disc.cyl_len
     )
+    if disc.halo_axis is not None:
+        force = jax.lax.psum(force, disc.halo_axis)
     return force[0], force[1]

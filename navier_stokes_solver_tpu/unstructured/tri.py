@@ -32,6 +32,7 @@ from navier_stokes_solver_tpu.unstructured.elements import (
 )
 
 __all__ = [
+    "SeamTables",
     "SimplexDisc",
     "invert_scatter",
     "make_simplex_disc",
@@ -39,6 +40,27 @@ __all__ = [
 ]
 
 _DIRICHLET_IDS = (6, 7, 10)
+
+
+@struct.dataclass
+class SeamTables:
+    """1-D strip-decomposition seam-exchange tables for one DoF space.
+
+    Local node vectors are padded to a uniform ``n_loc`` across tiles;
+    nodes shared with the left/right neighbor strip are listed in
+    ``send_l``/``send_r`` (local indices, sentinel ``n_loc`` = unused
+    buffer slot), both sides ordered by global node id so the buffers
+    align.  ``add_l``/``add_r`` map each local node to its position in
+    the buffer received from that neighbor (sentinel ``B`` = nothing to
+    add).  ``weight`` is 1/multiplicity per node (0 on padding) -- the
+    seam-weighted inner product (the Trilinos owned-DoF dot analog).
+    """
+
+    send_l: jax.Array  # [B] int32
+    send_r: jax.Array  # [B] int32
+    add_l: jax.Array  # [n_loc] int32
+    add_r: jax.Array  # [n_loc] int32
+    weight: jax.Array  # [n_loc]
 
 
 @struct.dataclass
@@ -80,6 +102,13 @@ class SimplexDisc:
     # enable the P1-coarse velocity preconditioner (the simplex analog of
     # the structured geometric-MG ILU/AMG equivalence layer)
     p_mg: bool = struct.field(pytree_node=False, default=False)
+    # 1-D strip domain decomposition (dist/simplex.py): device-mesh axis
+    # name + tile count, and the velocity/pressure seam-exchange tables
+    # (None = single tile)
+    halo_axis: str | None = struct.field(pytree_node=False, default=None)
+    halo_n: int = struct.field(pytree_node=False, default=1)
+    seam_v: SeamTables | None = None
+    seam_p: SeamTables | None = None
 
     @property
     def dtype(self):
@@ -91,16 +120,8 @@ class SimplexDisc:
 
     # --- interface shared with the structured Disc (duck-typed) ---
     @property
-    def halo_axis(self):
-        return None
-
-    @property
     def halo_axis_y(self):
         return None
-
-    @property
-    def halo_n(self):
-        return 1
 
     @property
     def halo_ny(self):

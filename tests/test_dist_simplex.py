@@ -1,0 +1,101 @@
+"""Distributed simplex (-M) backend: strip decomposition vs single tile.
+
+The fused time step runs on one device and on a 4-strip decomposition of
+the same triangle mesh over the virtual CPU mesh (shard_map + ppermute
+seam exchange, dist/simplex.py); fields and forces must agree to solver
+tolerance -- the -M analog of test_dist.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_solver_tpu.dist import (
+    decompose_simplex_disc,
+    device_put_dist,
+    gather_simplex_blocks,
+    init_dist_state,
+    make_dd_mesh,
+    make_dist_time_step,
+    scatter_simplex_blocks,
+)
+from navier_stokes_solver_tpu.geometry import make_channel_geometry
+from navier_stokes_solver_tpu.ops import Blocks
+from navier_stokes_solver_tpu.timeloop import initial_state, make_time_step
+from navier_stokes_solver_tpu.unstructured import (
+    make_simplex_disc,
+    triangulate_channel,
+)
+
+
+def _mesh_data(nx=16, ny=8):
+    return triangulate_channel(make_channel_geometry(nx, ny))
+
+
+def test_simplex_scatter_gather_roundtrip():
+    data = _mesh_data()
+    disc = make_simplex_disc(*data)
+    dd = decompose_simplex_disc(*data, n_dev=4)
+    rng = np.random.default_rng(0)
+    x = Blocks(
+        u=jnp.asarray(rng.standard_normal((2, disc.n_nodes_v))),
+        p=jnp.asarray(rng.standard_normal(disc.n_nodes_p)),
+    )
+    back = gather_simplex_blocks(scatter_simplex_blocks(x, dd), dd)
+    np.testing.assert_array_equal(np.asarray(back.u), np.asarray(x.u))
+    np.testing.assert_array_equal(np.asarray(back.p), np.asarray(x.p))
+
+
+def test_simplex_dd_weights_partition_unity():
+    """Seam weights sum to exactly 1 over every node's tile copies, so the
+    weighted dot equals the global dot."""
+    data = _mesh_data()
+    disc = make_simplex_disc(*data)
+    dd = decompose_simplex_disc(*data, n_dev=4)
+    wv = np.asarray(dd.disc.seam_v.weight)
+    acc = np.zeros(dd.n_nodes_v_global)
+    for t in range(4):
+        sel = dd.v_global[t] >= 0
+        acc[dd.v_global[t][sel]] += wv[t][sel]
+    np.testing.assert_allclose(acc, 1.0)
+    # padding slots carry zero weight
+    for t in range(4):
+        assert np.all(wv[t][dd.v_global[t] < 0] == 0.0)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_simplex_dist_step_matches_single(n_dev):
+    data = _mesh_data()
+    disc = make_simplex_disc(*data)
+    kw = dict(
+        solver_type=1, prec_type=2, tol=1e-10, newton_max=3,
+        krylov_maxiter=300,
+    )
+    step = make_time_step(disc, **kw)
+    ts = initial_state(disc)
+    for _ in range(2):
+        ts = jax.jit(step)(ts, 0.05, 0.01)
+
+    dd = decompose_simplex_disc(*data, n_dev=n_dev)
+    mesh = make_dd_mesh(n_x=n_dev, devices=jax.devices()[:n_dev])
+    sdisc = device_put_dist(dd.disc, mesh)
+    dstep = make_dist_time_step(sdisc, mesh, **kw)
+    tsd = device_put_dist(init_dist_state(sdisc), mesh)
+    for _ in range(2):
+        tsd = jax.jit(dstep)(tsd, 0.05, 0.01)
+
+    assert int(np.ravel(np.asarray(tsd.step))[0]) == 2
+    sol = gather_simplex_blocks(tsd.solution, dd)
+    np.testing.assert_allclose(
+        np.asarray(sol.u), np.asarray(ts.solution.u), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.p), np.asarray(ts.solution.p), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(np.ravel(np.asarray(tsd.drag))[0]), float(ts.drag), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(np.ravel(np.asarray(tsd.lift))[0]), float(ts.lift), atol=1e-7
+    )
