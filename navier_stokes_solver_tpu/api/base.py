@@ -58,8 +58,24 @@ class SolverOptions:
     # Domain decomposition (x_tiles, y_tiles): run every tangent solve
     # distributed over a jax device mesh inside shard_map -- the analog of
     # the reference's `mpiexec -n` rank count (run_sim_steady.sh:24).
-    # None = single device.  Structured backend only.
+    # None = single device.  On the -M simplex backend only 1-D x-strips
+    # are supported and only the fused path (``solve_fused``) runs
+    # decomposed (dist/simplex.py).
     dd: Any = None
+
+
+class _FusedOnlyKernels:
+    """Kernel-backend placeholder for decomposed simplex discs: the
+    host-driven solver paths have no shard_map wrapper on -M meshes, so
+    any kernel call fails loudly instead of tracing ppermute outside a
+    mesh context."""
+
+    def __getattr__(self, name):
+        raise NotImplementedError(
+            "host-driven solves are not supported on a decomposed simplex "
+            "mesh; use solve_fused (the -M dd path runs the fused time "
+            "loop under shard_map)"
+        )
 
 
 class NSSolverBase:
@@ -90,6 +106,7 @@ class NSSolverBase:
         self._is_setup = False
         self.K = kernels  # kernel backend; swapped for DistKernels under dd
         self.dist_mesh = None
+        self._dd_simplex = None  # DecomposedSimplex under -M + dd
         from navier_stokes_solver_tpu.obs import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -134,6 +151,8 @@ class NSSolverBase:
             n_el = self.disc.n_tri
             n_dofs_v = 2 * self.disc.n_nodes_v
             n_dofs_p = self.disc.n_nodes_p
+            if o.dd is not None:
+                self._setup_dist_simplex(nodes, tri, bedges, btags)
         else:
             self.space = make_fe_space(
                 self.geo, o.degree_velocity, o.degree_pressure
@@ -193,6 +212,38 @@ class NSSolverBase:
         self._is_setup = True
         self.setup_seconds = _time.perf_counter() - t0
         return self
+
+    def _setup_dist_simplex(self, nodes, tri, bedges, btags):
+        """Strip-decompose the simplex disc over the device mesh
+        (dist/simplex.py).  Only the fused time loop (``solve_fused``)
+        runs decomposed on -M meshes; the host-driven paths raise."""
+        o = self.options
+        import jax
+
+        from navier_stokes_solver_tpu.dist import (
+            decompose_simplex_disc,
+            device_put_dist,
+            make_dd_mesh,
+        )
+
+        n_x, n_y = (o.dd, 1) if isinstance(o.dd, int) else tuple(o.dd)
+        if n_y != 1:
+            raise NotImplementedError(
+                "simplex decomposition is 1-D (x-strips); use dd=(n, 1)"
+            )
+        if n_x > len(jax.devices()):
+            raise ValueError(
+                f"dd={o.dd} needs {n_x} devices but only "
+                f"{len(jax.devices())} are available"
+            )
+        self.dist_mesh = make_dd_mesh(n_x, 1)
+        self._dd_simplex = decompose_simplex_disc(
+            nodes, tri, bedges, btags, n_x, o.dtype
+        )
+        # p-MG transfer tables are not decomposition-aware; fused dd runs
+        # use the Jacobi-smoothed inners
+        self.disc = device_put_dist(self._dd_simplex.disc, self.dist_mesh)
+        self.K = _FusedOnlyKernels()
 
     def _setup_dist(self):
         """Decompose the structured disc over a device mesh and swap the
@@ -401,10 +452,16 @@ class NSSolverBase:
             from navier_stokes_solver_tpu.io.vtu import write_vtu_tri
 
             os.makedirs(self.options.output_dir, exist_ok=True)
+            sol = self._gathered_solution()
+            disc = (
+                self._dd_simplex.global_disc
+                if self.dist_mesh is not None
+                else self.disc
+            )
             write_vtu_tri(
-                self.disc,
-                np.asarray(self.solution.u),
-                np.asarray(self.solution.p),
+                disc,
+                np.asarray(sol.u),
+                np.asarray(sol.p),
                 os.path.join(
                     self.options.output_dir,
                     f"output_{time_step or 0:03d}.0.vtu",
@@ -437,6 +494,10 @@ class NSSolverBase:
     def _gathered_solution(self) -> Blocks:
         if self.dist_mesh is None:
             return self.solution
+        if self.space is None:
+            from navier_stokes_solver_tpu.dist import gather_simplex_blocks
+
+            return gather_simplex_blocks(self.solution, self._dd_simplex)
         from navier_stokes_solver_tpu.dist import gather_blocks
 
         return gather_blocks(self.solution, self.disc)

@@ -171,17 +171,12 @@ class NSSolver(NSSolverBase):
         solves at the target viscosity directly (warm-started), instead of
         re-running the Re-continuation ramp inside every step.
         """
-        from navier_stokes_solver_tpu.ops.disc import Disc
         from navier_stokes_solver_tpu.timeloop import (
             initial_state,
             make_time_step,
             run_time_loop,
         )
 
-        if self.dist_mesh is not None and not isinstance(self.disc, Disc):
-            raise NotImplementedError(
-                "distributed solve_fused requires the structured backend"
-            )
         if self.Re < 1.0:
             # the host/reference ramp (current_Re = 1.0; current_Re <= target)
             # never executes a solve for targets below 1 (NSSolver.cpp:684)

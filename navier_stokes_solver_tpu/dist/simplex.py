@@ -53,6 +53,8 @@ class DecomposedSimplex(NamedTuple):
     p_global: np.ndarray
     n_nodes_v_global: int
     n_nodes_p_global: int
+    # the undecomposed disc (host-side convenience: VTU output, oracles)
+    global_disc: SimplexDisc | None = None
 
 
 def _local_numbering(global_ids_per_tile, n_global):
@@ -280,6 +282,7 @@ def decompose_simplex_disc(
         p_global=p_pad,
         n_nodes_v_global=g.n_nodes_v,
         n_nodes_p_global=g.n_nodes_p,
+        global_disc=g,
     )
 
 

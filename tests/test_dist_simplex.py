@@ -99,3 +99,29 @@ def test_simplex_dist_step_matches_single(n_dev):
     np.testing.assert_allclose(
         float(np.ravel(np.asarray(tsd.lift))[0]), float(ts.lift), atol=1e-7
     )
+
+
+def test_simplex_dd_api_solve_fused_matches_single():
+    """SolverOptions.dd on the -M path: the shard_map fused run must
+    reproduce the single-device fused run, and the host-driven paths
+    must refuse loudly."""
+    from navier_stokes_solver_tpu.api import NSSolver, SolverOptions
+
+    common = dict(mesh_size=(16, 8), Re=5.0, time_span=0.02, time_step=0.01,
+                  solver_type=1, tolerance=1e-10, preconditioner_type=2,
+                  verbose=False, multigrid=False, read_mesh_from_file=True)
+    one = NSSolver(SolverOptions(**common))
+    one.setup()
+    one.solve_fused(newton_max=5, newton_tol=1e-9)
+
+    dd = NSSolver(SolverOptions(**common, dd=4))
+    dd.setup()
+    with pytest.raises(NotImplementedError):
+        dd.solve()  # host-driven path has no shard_map wrapper on -M
+    dd.solve_fused(newton_max=5, newton_tol=1e-9)
+
+    np.testing.assert_allclose(dd.drag_force, one.drag_force, atol=1e-8)
+    u1, p1 = one.fields()
+    u2, p2 = dd.fields()
+    np.testing.assert_allclose(u2, u1, atol=1e-7)
+    np.testing.assert_allclose(p2, p1, atol=1e-6)
