@@ -449,17 +449,26 @@ class NSSolverBase:
         if self.space is None:
             import os
 
-            from navier_stokes_solver_tpu.io.vtu import write_vtu_tri
+            from navier_stokes_solver_tpu.io.vtu import (
+                write_vtu_tri,
+                write_vtu_tri_record,
+            )
 
             os.makedirs(self.options.output_dir, exist_ok=True)
             sol = self._gathered_solution()
-            disc = (
-                self._dd_simplex.global_disc
-                if self.dist_mesh is not None
-                else self.disc
-            )
+            if self.dist_mesh is not None:
+                # one piece per strip + .pvtu, partitioning = strip id
+                # (per-rank pieces, NSSolver.cpp:789-793)
+                write_vtu_tri_record(
+                    self._dd_simplex,
+                    np.asarray(sol.u),
+                    np.asarray(sol.p),
+                    directory=self.options.output_dir,
+                    counter=time_step or 0,
+                )
+                return
             write_vtu_tri(
-                disc,
+                self.disc,
                 np.asarray(sol.u),
                 np.asarray(sol.p),
                 os.path.join(

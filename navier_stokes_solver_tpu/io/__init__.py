@@ -1,6 +1,11 @@
 """Host-side I/O: VTU/PVTU output, gmsh .msh export, checkpointing."""
 
-from navier_stokes_solver_tpu.io.vtu import write_vtu, write_vtu_record, write_vtu_tri
+from navier_stokes_solver_tpu.io.vtu import (
+    write_vtu,
+    write_vtu_record,
+    write_vtu_tri,
+    write_vtu_tri_record,
+)
 from navier_stokes_solver_tpu.io.msh import read_msh, write_msh
 from navier_stokes_solver_tpu.io.checkpoint import (
     load_checkpoint,
@@ -13,6 +18,7 @@ __all__ = [
     "write_vtu",
     "write_vtu_record",
     "write_vtu_tri",
+    "write_vtu_tri_record",
     "write_msh",
     "read_msh",
     "save_checkpoint",

@@ -290,7 +290,12 @@ def write_vtu_record(
                 ),
             )
     pvtu = os.path.join(directory, f"{basename}_{counter:03d}.pvtu")
-    with open(pvtu, "w") as f:
+    _write_pvtu(pvtu, pieces)
+    return pvtu
+
+
+def _write_pvtu(path: str, pieces: list[str]):
+    with open(path, "w") as f:
         f.write(
             "\n".join(
                 [
@@ -317,4 +322,48 @@ def write_vtu_record(
                 ]
             )
         )
+
+
+def write_vtu_tri_record(
+    dd,
+    u: np.ndarray,
+    p: np.ndarray,
+    *,
+    directory: str = ".",
+    basename: str = "output",
+    counter: int = 0,
+) -> str:
+    """Per-strip pieces + ``.pvtu`` master for a decomposed simplex mesh
+    (``dist.simplex.DecomposedSimplex``), partitioning = strip id -- the
+    -M analog of ``write_vtu_record``'s per-tile pieces (one piece per
+    MPI rank, NSSolver.cpp:789-793).  ``u``/``p`` are GLOBAL fields.
+    """
+    import types
+
+    os.makedirs(directory, exist_ok=True)
+    n_dev = dd.v_global.shape[0]
+    detJ = np.asarray(dd.disc.detJ)
+    dofs_p = np.asarray(dd.disc.dofs_p)
+    coords_p = np.asarray(dd.disc.coords_p)
+    u = np.asarray(u)
+    p = np.asarray(p)
+    pieces = []
+    for t in range(n_dev):
+        real = detJ[t] > 0  # padding elements have zero measure
+        n_loc = int((dd.p_global[t] >= 0).sum())
+        gid = dd.p_global[t][:n_loc]
+        local = types.SimpleNamespace(
+            coords_p=coords_p[t][:n_loc], dofs_p=dofs_p[t][real]
+        )
+        piece = f"{basename}_{counter:03d}.{t}.vtu"
+        pieces.append(piece)
+        write_vtu_tri(
+            local,
+            u[:, gid],
+            p[gid],
+            os.path.join(directory, piece),
+            partitioning=np.full(int(real.sum()), float(t)),
+        )
+    pvtu = os.path.join(directory, f"{basename}_{counter:03d}.pvtu")
+    _write_pvtu(pvtu, pieces)
     return pvtu

@@ -159,3 +159,32 @@ def test_time_state_checkpoint_roundtrip(tmp_path):
     ts2 = jax.jit(step)(ts_back, 0.01, 0.01)
     assert int(ts2.step) == 2
     assert np.isfinite(float(ts2.drag))
+
+
+def test_vtu_tri_per_strip_pieces(tmp_path):
+    """One piece per simplex strip + pvtu master + strip-id partitioning
+    (the -M analog of test_vtu_per_tile_pieces)."""
+    import re
+
+    from navier_stokes_solver_tpu.dist import decompose_simplex_disc
+    from navier_stokes_solver_tpu.geometry import make_channel_geometry
+    from navier_stokes_solver_tpu.io.vtu import write_vtu_tri_record
+    from navier_stokes_solver_tpu.unstructured import triangulate_channel
+
+    data = triangulate_channel(make_channel_geometry(10, 5))
+    dd = decompose_simplex_disc(*data, n_dev=4)
+    u = np.random.default_rng(0).standard_normal(
+        (2, dd.n_nodes_v_global)
+    )
+    p = np.random.default_rng(1).standard_normal(dd.n_nodes_p_global)
+    pvtu = write_vtu_tri_record(dd, u, p, directory=str(tmp_path), counter=3)
+    content = open(pvtu).read()
+    total = 0
+    for rank in range(4):
+        piece = os.path.join(str(tmp_path), f"output_003.{rank}.vtu")
+        assert os.path.exists(piece)
+        assert f"output_003.{rank}.vtu" in content
+        total += int(
+            re.search(r'NumberOfCells="(\d+)"', open(piece).read()).group(1)
+        )
+    assert total == data[1].shape[0]  # pieces partition the element set
