@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""One-off bench-config variants for same-day A/B pairs on the TPU.
+
+Same solve as bench.py (stationary 100x70 Q3/Q2 Re=100 FGMRES +
+blockTriangular tol 1e-12) with PrecondConfig knobs exposed, printing the
+same one-line JSON.  Use alongside a same-session bench.py control run --
+cross-day walls are worker-variance noise (docs/PERF.md).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--basis", type=int, default=60)
+    ap.add_argument("--ir", default=None, choices=("float32", "mixed"))
+    ap.add_argument("--tri-rel-u", type=float, default=None)
+    ap.add_argument("--tri-rel-p", type=float, default=None)
+    ap.add_argument("--mesh", default="100,70")
+    ap.add_argument("--tol", type=float, default=1e-12)
+    args = ap.parse_args(argv)
+
+    os.environ.setdefault("NSTPU_CACHE_DIR", "/tmp/nstpu_jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["NSTPU_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from navier_stokes_solver_tpu.api import NSSolverStationary, SolverOptions
+    from navier_stokes_solver_tpu.precond import PrecondConfig
+
+    mx, my = (int(v) for v in args.mesh.split(","))
+    cfg = PrecondConfig(
+        krylov_cycle_dtype=args.ir,
+        tri_rel_u=args.tri_rel_u,
+        tri_rel_p=args.tri_rel_p,
+    )
+    opts = SolverOptions(
+        mesh_size=(mx, my), degree_velocity=3, degree_pressure=2,
+        Re=100.0, solver_type=1, tolerance=args.tol,
+        preconditioner_type=1, verbose=False,
+        krylov_basis=args.basis, precond_config=cfg,
+    )
+    s = NSSolverStationary(opts)
+    s.setup()
+    t0 = time.perf_counter()
+    s.solve_newton()
+    wall = time.perf_counter() - t0
+    s.compute_lift_drag()
+    iters = [
+        h["krylov_iters"] for h in s.history if "krylov_iters" in h
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": f"bench_variant_{mx}x{my}_b{args.basis}"
+                f"_ir{args.ir}_trelu{args.tri_rel_u}_trelp{args.tri_rel_p}",
+                "value": round(wall, 2),
+                "unit": "s",
+                "extra": {
+                    "total_krylov_iters": int(sum(iters)),
+                    "per_solve": iters,
+                    "drag_coeff": s.drag_coeff,
+                    "phase_timings": s.timer.summary(),
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
