@@ -137,7 +137,7 @@ def run_unsteady(args):
             "lift_force": float(ts.lift),
             "tol": args.tol,
             "schur": args.schur,
-            "ir": bool(args.ir),
+            "ir": args.ir,
             "basis": args.basis,
         },
     }
@@ -146,12 +146,12 @@ def run_unsteady(args):
 
 
 def _precond_cfg(args):
-    if not (args.ir or args.schur != "mass"):
+    if args.ir is None and args.schur == "mass":
         return None
     from navier_stokes_solver_tpu.precond import PrecondConfig
 
     return PrecondConfig(
-        krylov_cycle_dtype="float32" if args.ir else None,
+        krylov_cycle_dtype=args.ir,
         schur_mode=args.schur,
     )
 
@@ -202,8 +202,9 @@ def main(argv=None):
     ap.add_argument("--krylov-maxiter", type=int, default=100)
     ap.add_argument("--newton-max", type=int, default=3)
     ap.add_argument("--basis", type=int, default=30)
-    ap.add_argument("--ir", action="store_true",
-                    help="GMRES-IR f32 outer cycles")
+    ap.add_argument("--ir", nargs="?", const="float32", default=None,
+                    choices=("float32", "mixed"),
+                    help="GMRES-IR reduced-precision outer cycles")
     ap.add_argument("--schur", choices=("mass", "cahouet", "pcd"), default="mass")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
