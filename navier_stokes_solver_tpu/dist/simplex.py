@@ -162,6 +162,14 @@ def decompose_simplex_disc(
     p_ids = [np.unique(gdofs_p[p]) for p in parts]
     v_pad, v_lut, n_v = _local_numbering(v_ids, g.n_nodes_v)
     p_pad, p_lut, n_p = _local_numbering(p_ids, g.n_nodes_p)
+    if n_p == n_v:
+        # the seam-weighted dot distinguishes the u/p weight vectors by
+        # their length (unstructured.ops.make_dot); disambiguate by
+        # padding the pressure space one extra dead slot
+        p_pad = np.concatenate(
+            [p_pad, np.full((n_dev, 1), -1, dtype=p_pad.dtype)], axis=1
+        )
+        n_p += 1
 
     seam_v = _seam_tables(v_pad, v_lut, n_v, n_dev, dtype)
     seam_p = _seam_tables(p_pad, p_lut, n_p, n_dev, dtype)
