@@ -64,6 +64,13 @@ class SolverOptions:
     dd: Any = None
 
 
+class _HostPathUnsupported(NotImplementedError, AttributeError):
+    """Raised for kernel lookups on a decomposed simplex disc.
+
+    Subclasses AttributeError so getattr/hasattr capability probes (and
+    copy/pickle protocol lookups) fail soft instead of propagating."""
+
+
 class _FusedOnlyKernels:
     """Kernel-backend placeholder for decomposed simplex discs: the
     host-driven solver paths have no shard_map wrapper on -M meshes, so
@@ -71,7 +78,7 @@ class _FusedOnlyKernels:
     mesh context."""
 
     def __getattr__(self, name):
-        raise NotImplementedError(
+        raise _HostPathUnsupported(
             "host-driven solves are not supported on a decomposed simplex "
             "mesh; use solve_fused (the -M dd path runs the fused time "
             "loop under shard_map)"
@@ -238,7 +245,8 @@ class NSSolverBase:
             )
         self.dist_mesh = make_dd_mesh(n_x, 1)
         self._dd_simplex = decompose_simplex_disc(
-            nodes, tri, bedges, btags, n_x, o.dtype
+            nodes, tri, bedges, btags, n_x, o.dtype,
+            global_disc=self.disc,  # reuse setup()'s disc (no rebuild)
         )
         # p-MG transfer tables are not decomposition-aware; fused dd runs
         # use the Jacobi-smoothed inners

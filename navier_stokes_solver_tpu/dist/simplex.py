@@ -53,8 +53,6 @@ class DecomposedSimplex(NamedTuple):
     p_global: np.ndarray
     n_nodes_v_global: int
     n_nodes_p_global: int
-    # the undecomposed disc (host-side convenience: VTU output, oracles)
-    global_disc: SimplexDisc | None = None
 
 
 def _local_numbering(global_ids_per_tile, n_global):
@@ -131,6 +129,7 @@ def decompose_simplex_disc(
     n_dev: int,
     dtype=None,
     axis: str = "x",
+    global_disc: SimplexDisc | None = None,
 ) -> DecomposedSimplex:
     """Split a triangle mesh into ``n_dev`` x-strips of elements and lower
     each to tile-local device data, stacked on a leading tile axis.
@@ -141,7 +140,11 @@ def decompose_simplex_disc(
     values replicate onto seam copies -- no double counting; partial-sum
     quantities are produced tile-locally and seam-exchanged at runtime).
     """
-    g = make_simplex_disc(nodes_xy, tri, bedges, bedge_tag, dtype)
+    g = (
+        global_disc
+        if global_disc is not None
+        else make_simplex_disc(nodes_xy, tri, bedges, bedge_tag, dtype)
+    )
     dtype = g.dtype
     gdofs_v = np.asarray(g.dofs_v)
     gdofs_p = np.asarray(g.dofs_p)
@@ -290,7 +293,6 @@ def decompose_simplex_disc(
         p_global=p_pad,
         n_nodes_v_global=g.n_nodes_v,
         n_nodes_p_global=g.n_nodes_p,
-        global_disc=g,
     )
 
 

@@ -614,7 +614,9 @@ def make_krylov_lo(kind: int, ctx: LinearContext, *, variant: str, cfg):
     mixed = isinstance(lo_dt, str) and lo_dt == "mixed"
     wd = jnp.dtype("float32") if mixed else jnp.dtype(lo_dt)
     hi = jnp.dtype(ctx.disc.dtype)
-    if not mixed and wd == hi:
+    if wd == hi:
+        # cycles would run at the operator precision anyway; a no-op
+        # LowCycle would still arm the IR stall/fallback machinery
         return None
     from navier_stokes_solver_tpu.krylov import LowCycle
 

@@ -265,7 +265,7 @@ def make_stokes_init(
         g = ops.dirichlet_values(disc, inlet_amp)
         x0 = Blocks(
             u=jnp.where(disc.u_dirichlet, g, 0.0),
-            p=jnp.zeros(disc.NP, disc.dtype),
+            p=disc.zeros_p(),
         )
         zero = Blocks(u=jnp.zeros_like(x0.u), p=jnp.zeros_like(x0.p))
         sol, _ = _solve_tangent(

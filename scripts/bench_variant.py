@@ -54,6 +54,7 @@ def main(argv=None):
     s.solve_newton()
     wall = time.perf_counter() - t0
     s.compute_lift_drag()
+    s.compute_drag_coeff()
     iters = [
         h["krylov_iters"] for h in s.history if "krylov_iters" in h
     ]
