@@ -282,6 +282,11 @@ def decompose_simplex_disc(
         gather_v=jnp.asarray(gather_v_t.astype(np.int32)),
         gather_p=jnp.asarray(gather_p_t.astype(np.int32)),
         gather_ev=None,
+        # padding slots read True: they must stay identity rows of the
+        # pressure-Laplacian Schur legs (unstructured.ops._p_free)
+        p_outlet=jnp.asarray(
+            slice_nodal(np.asarray(g.p_outlet), p_pad, fill=True)
+        ),
         halo_axis=axis,
         halo_n=n_dev,
         seam_v=seam_v,

@@ -98,18 +98,27 @@ class PrecondConfig:
     #              the implicit-Euler time term the Schur complement is
     #              dt-Laplacian dominated and the pure mass preconditioner
     #              loses h/dt robustness (outer counts grow ~1/(h sqrt(dt)));
-    #              the added Laplacian leg restores it.  Structured backend,
-    #              Newton regime only (reduces to "mass" in the Stokes
-    #              regime and, numerically, whenever inv_dt == 0).
+    #              the added Laplacian leg restores it.  Newton regime only
+    #              (reduces to "mass" in the Stokes regime and, numerically,
+    #              whenever inv_dt == 0).  Both backends: structured lattice
+    #              and the -M simplex path (unstructured.ops.apply_Lp).
     #   "pcd":     pressure convection-diffusion (Elman/Silvester/Wathen),
     #              S^-1 ~ Mp_raw^-1 Fp Ap^-1 with Fp = Mp_raw/dt + nu Lp
     #              + N_p(u_k).  Subsumes "cahouet" and additionally tracks
     #              the convection, giving Re-robustness of the stationary
-    #              outer iteration.  Structured backend, Newton regime only.
+    #              outer iteration.  Newton regime only, both backends.
     schur_mode: str = "mass"
     # Relative tolerance of the Cahouet-Chabard pressure-Laplacian CG leg
     # (V-cycle preconditioned; a loose solve suffices for a Schur approx).
     cc_lp_rel: float = 1e-2
+    # When set, replace the nested Lp Krylov solve with this many
+    # residual-corrected V-cycles (structured backend; requires the MG
+    # chain's pressure transfers).  The Schur leg only needs an
+    # approximate Lp^-1, so 1-2 cycles usually hold the outer count while
+    # removing the nested solve entirely -- the Lp leg was ~5x the
+    # mass-only per-iteration cost at the 300x100 north-star config
+    # (docs/PERF.md).  None = nested FGMRES to ``cc_lp_rel``.
+    cc_lp_cycles: int | None = None
     # Inner-solve tolerance overrides for blockTriangular (None = the
     # reference's values: velocity rel 1e-4 unsteady / 1e-2 stationary,
     # pressure rel 1e-5 / 1e-2 -- NSSolver.hpp:219/228,
@@ -270,10 +279,10 @@ def _fixed_Mp_solver(ctx: LinearContext, cfg: PrecondConfig):
 
 def _schur_mode(ctx: LinearContext, cfg: PrecondConfig) -> str:
     """Resolved Schur treatment.  The upgraded modes apply in the Newton
-    regime of the structured backend; in the Stokes regime (no time term in
-    the operator regardless of ``inv_dt``, and no convection) the mass
-    solve alone IS the right Schur approximation, and the simplex backend
-    has no pressure-Laplacian operator."""
+    regime of backends exposing a pressure Laplacian (both the structured
+    lattice and the -M simplex path); in the Stokes regime (no time term
+    in the operator regardless of ``inv_dt``, and no convection) the mass
+    solve alone IS the right Schur approximation."""
     mode = getattr(cfg, "schur_mode", "mass")
     if mode == "mass" or ctx.stokes or not hasattr(ctx.ops, "apply_Lp"):
         return "mass"
@@ -323,16 +332,27 @@ def _make_p_solver(ctx: LinearContext, cfg: PrecondConfig):
     mlp = _lp_preconditioner(ctx, cfg)
     nrm = ctx.norm()
     rel = getattr(cfg, "cc_lp_rel", 1e-2)
+    cycles = getattr(cfg, "cc_lp_cycles", None)
 
-    def solve_lp(rhs):
-        # FGMRES, not CG: the V-cycle's inexact coarse solve makes the
-        # preconditioner (mildly) nonlinear, which stalls CG; a flexible
-        # method reaches the loose Schur-leg tolerance in a few iterations
-        dl, _ = fgmres(
-            ctx.Lp, rhs, jnp.zeros_like(rhs), tol=rel * nrm(rhs),
-            maxiter=cfg.inner_maxiter, M=mlp, dot=dot,
-        )
-        return dl
+    if cycles is not None:
+
+        def solve_lp(rhs):
+            dl = mlp(rhs)
+            for _ in range(cycles - 1):
+                dl = dl + mlp(rhs - ctx.Lp(dl))
+            return dl
+
+    else:
+
+        def solve_lp(rhs):
+            # FGMRES, not CG: the V-cycle's inexact coarse solve makes the
+            # preconditioner (mildly) nonlinear, which stalls CG; a flexible
+            # method reaches the loose Schur-leg tolerance in a few iterations
+            dl, _ = fgmres(
+                ctx.Lp, rhs, jnp.zeros_like(rhs), tol=rel * nrm(rhs),
+                maxiter=cfg.inner_maxiter, M=mlp, dot=dot,
+            )
+            return dl
 
     if mode == "cahouet":
 

@@ -24,6 +24,10 @@ __all__ = [
     "apply_B",
     "apply_Bt",
     "apply_Mp",
+    "apply_Mp_raw",
+    "apply_Lp",
+    "apply_Fp",
+    "diag_Lp",
     "apply_jacobian",
     "residual",
     "diag_F",
@@ -217,6 +221,72 @@ def apply_Mp(disc, nu, x_p):
     return _project_p(disc, _eval_p(disc, x_p) / nu)
 
 
+def _p_free(disc: SimplexDisc) -> jax.Array:
+    """Pressure nodes carrying Laplacian/Fp rows: everything except the
+    outlet boundary (identity/Dirichlet rows there -- the standard
+    Cahouet-Chabard/PCD boundary choice, mirroring
+    ``ops.matfree.p_outlet_mask``) and dd padding slots (which touch no
+    element and must stay identity for the inner Krylov solves)."""
+    free = ~disc.p_outlet
+    if disc.seam_p is not None:
+        free = free & (disc.seam_p.weight > 0)
+    return free
+
+
+def _grad_psi_p(disc: SimplexDisc):
+    """Physical P1 gradients [n_q, 3, 2, T] and quadrature weights
+    w_q * detJ [n_q, T] (zero on dd padding elements)."""
+    dphi = _tab(disc, "dphi_p")  # [n_q, 3, 2] (d/dxi)
+    gpsi = jnp.einsum("qnd,tdk->qnkt", dphi, disc.invJ)
+    w = _tab(disc, "w_q")
+    return gpsi, w[:, None] * disc.detJ[None, :]
+
+
+def apply_Lp(disc: SimplexDisc, x_p: jax.Array) -> jax.Array:
+    """Pressure Laplacian (grad psi_j, grad psi_i) on P1 nodes.
+
+    The simplex-backend twin of ``ops.matfree.apply_Lp`` (see there for
+    the Cahouet-Chabard rationale and the boundary-condition choice; no
+    reference analog exists -- the Schur upgrade is this repo's
+    h/dt-robustness lever).  Constrained rows AND columns are eliminated
+    so the operator stays exactly symmetric for CG/Chebyshev."""
+    free = _p_free(disc)
+    loc = jnp.where(free, x_p, 0.0)[disc.dofs_p]  # [T, 3]
+    gpsi, wdet = _grad_psi_p(disc)
+    g = jnp.einsum("qnkt,tn->qkt", gpsi, loc)
+    out = jnp.einsum("qnkt,qkt,qt->tn", gpsi, g, wdet)
+    y = _scatter_p(disc, out)
+    return jnp.where(free, y, x_p)
+
+
+def apply_Fp(disc: SimplexDisc, nu, inv_dt, linq, x_p: jax.Array) -> jax.Array:
+    """Pressure convection-diffusion operator (the PCD middle factor),
+    Fp = inv_dt * Mp_raw + nu * Lp + N_p(u_k); simplex twin of
+    ``ops.matfree.apply_Fp`` (semantics documented there)."""
+    free = _p_free(disc)
+    loc = jnp.where(free, x_p, 0.0)[disc.dofs_p]  # [T, 3]
+    phi = _tab(disc, "phi_p")
+    gpsi, wdet = _grad_psi_p(disc)
+    pv = jnp.einsum("qn,tn->qt", phi, loc)
+    g = jnp.einsum("qnkt,tn->qkt", gpsi, loc)
+    out = nu * jnp.einsum("qnkt,qkt,qt->tn", gpsi, g, wdet)
+    f_val = inv_dt * pv
+    if linq is not None:
+        f_val = f_val + jnp.einsum("qkt,qkt->qt", linq.u, g)
+    out = out + jnp.einsum("qn,qt,qt->tn", phi, f_val, wdet)
+    y = _scatter_p(disc, out)
+    return jnp.where(free, y, x_p)
+
+
+def apply_Mp_raw(disc: SimplexDisc, x_p: jax.Array) -> jax.Array:
+    """Unscaled pressure mass with the PCD elimination convention
+    (cf. ``ops.matfree.apply_Mp_raw``)."""
+    free = _p_free(disc)
+    pv = _eval_p(disc, jnp.where(free, x_p, 0.0))
+    y = _project_p(disc, pv)
+    return jnp.where(free, y, x_p)
+
+
 def apply_jacobian(disc, nu, inv_dt, linq, bc_diag, x: Blocks, *, stokes):
     xv, xg = _eval_v(disc, x.u)
     pv = _eval_p(disc, x.p)
@@ -284,6 +354,16 @@ def diag_F(disc, nu, inv_dt, linq, *, stokes):
         )
         loc = loc + conv2
     d = _scatter_v(disc, loc)
+    return jnp.where(d == 0.0, 1.0, d)
+
+
+def diag_Lp(disc):
+    """Diagonal of the pressure Laplacian (Jacobi preconditioning of the
+    Cahouet-Chabard Lp leg); constrained/padding rows get 1.0."""
+    gpsi, wdet = _grad_psi_p(disc)
+    loc = jnp.einsum("qnkt,qnkt,qt->tn", gpsi, gpsi, wdet)
+    d = _scatter_p(disc, loc)
+    d = jnp.where(_p_free(disc), d, 1.0)
     return jnp.where(d == 0.0, 1.0, d)
 
 

@@ -99,6 +99,10 @@ class SimplexDisc:
     gather_v: jax.Array | None = None  # [n_nodes_v, Kv] int32
     gather_p: jax.Array | None = None  # [n_nodes_p, Kp] int32
     gather_ev: jax.Array | None = None  # [n_verts, Ke] into [2*n_edges]
+    # pressure nodes on the outlet boundary (id 8): Dirichlet rows of the
+    # pressure Laplacian / convection-diffusion Schur legs
+    # (ops.matfree.p_outlet_mask analog)
+    p_outlet: jax.Array | None = None  # [n_nodes_p] bool
     # enable the P1-coarse velocity preconditioner (the simplex analog of
     # the structured geometric-MG ILU/AMG equivalence layer)
     p_mg: bool = struct.field(pytree_node=False, default=False)
@@ -281,6 +285,11 @@ def make_simplex_disc(
     y_v = coords_v[:, 1]
     inlet_profile1 = 4.0 * y_v * (H - y_v) / (H * H)
 
+    p_out_mask = np.zeros(n_verts, dtype=bool)
+    for (a, b), tag in zip(map(tuple, bedges_s), bedge_tag):
+        if tag == BOUNDARY_OUTLET:
+            p_out_mask[[a, b]] = True
+
     # ---- boundary edge -> (tri, local edge) map ----
     tri_edge_lookup: dict[tuple[int, int], tuple[int, int]] = {}
     for k, e in enumerate(EDGE_VERTICES):
@@ -354,4 +363,5 @@ def make_simplex_disc(
         gather_ev=jnp.asarray(
             invert_scatter(uniq.T, n_verts)  # [2*n_edges] = [ep0..., ep1...]
         ),
+        p_outlet=jnp.asarray(p_out_mask),
     )

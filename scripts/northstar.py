@@ -139,6 +139,7 @@ def run_unsteady(args):
             "schur": args.schur,
             "ir": args.ir,
             "basis": args.basis,
+            "lp_cycles": args.lp_cycles,
         },
     }
     print(json.dumps(out))
@@ -146,13 +147,14 @@ def run_unsteady(args):
 
 
 def _precond_cfg(args):
-    if args.ir is None and args.schur == "mass":
+    if args.ir is None and args.schur == "mass" and args.lp_cycles is None:
         return None
     from navier_stokes_solver_tpu.precond import PrecondConfig
 
     return PrecondConfig(
         krylov_cycle_dtype=args.ir,
         schur_mode=args.schur,
+        cc_lp_cycles=args.lp_cycles,
     )
 
 
@@ -206,6 +208,9 @@ def main(argv=None):
                     choices=("float32", "mixed"),
                     help="GMRES-IR reduced-precision outer cycles")
     ap.add_argument("--schur", choices=("mass", "cahouet", "pcd"), default="mass")
+    ap.add_argument("--lp-cycles", type=int, default=None,
+                    help="fixed Lp V-cycles per Schur leg instead of the "
+                    "nested Lp solve (PrecondConfig.cc_lp_cycles)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     out = run_unsteady(args) if args.which == "unsteady" else run_stationary(args)

@@ -100,3 +100,39 @@ class DenseTriNS:
                 A[i, :] = 0.0
                 A[i, i] = d
         return A
+
+    def assemble_fp(self, p_free, nu, inv_dt, uk=None):
+        """Dense pressure convection-diffusion Fp = Mp/dt + nu Lp + N_p(uk)
+        with symmetric identity elimination on ~p_free rows/cols (the
+        Cahouet-Chabard / PCD Schur-leg operators; Lp = assemble_fp(free,
+        nu=1, inv_dt=0)).  ``uk``: nodal velocity [2, n_v_nodes] or None."""
+        t = self.t
+        n = self.n_p_nodes
+        A = np.zeros((n, n))
+        uk = None if uk is None else np.asarray(uk)
+        for e in range(self.dofs_p.shape[0]):
+            vdofs = self.dofs_v[e]
+            pdofs = self.dofs_p[e]
+            iJ = self.invJ[e]
+            for q in range(len(t.w_q)):
+                w = t.w_q[q] * self.detJ[e]
+                psi = t.phi_p[q]  # [3]
+                gpsi = t.dphi_p[q] @ iJ  # [3, 2] physical
+                u_q = np.zeros(2)
+                if uk is not None:
+                    phi = t.phi_v[q]
+                    for m in range(6):
+                        for c in range(2):
+                            u_q[c] += uk[c, vdofs[m]] * phi[m]
+                for i in range(3):
+                    for j in range(3):
+                        val = nu * (gpsi[i] @ gpsi[j])
+                        val += inv_dt * psi[i] * psi[j]
+                        if uk is not None:
+                            val += psi[i] * (u_q @ gpsi[j])
+                        A[pdofs[i], pdofs[j]] += w * val
+        for node in np.nonzero(~np.asarray(p_free))[0]:
+            A[node, :] = 0.0
+            A[:, node] = 0.0
+            A[node, node] = 1.0
+        return A

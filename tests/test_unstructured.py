@@ -177,6 +177,71 @@ def test_simplex_jacobian_matches_dense_oracle(stokes):
     )
 
 
+def test_simplex_schur_legs_match_dense_oracle():
+    """Matrix-free simplex apply_Lp / apply_Fp / apply_Mp_raw / diag_Lp vs
+    independent dense assemblies (tests/reference_fem_tri.py) with the
+    symmetric outlet-elimination convention."""
+    from tests.reference_fem_tri import DenseTriNS
+
+    disc, _geo = _disc(5, 3)
+    oracle = DenseTriNS(disc)
+    rng = np.random.default_rng(7)
+    free = ~np.asarray(disc.p_outlet)
+    assert free.sum() < disc.n_nodes_p  # the outlet column exists
+    xp = rng.standard_normal(disc.n_nodes_p)
+
+    L = oracle.assemble_fp(free, nu=1.0, inv_dt=0.0)
+    np.testing.assert_allclose(
+        np.asarray(uops.apply_Lp(disc, jnp.asarray(xp))), L @ xp, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(uops.diag_Lp(disc)), np.diag(L), atol=1e-11
+    )
+
+    nu, inv_dt = 0.04, 10.0
+    uk = rng.standard_normal((2, disc.n_nodes_v))
+    linq = uops.eval_state(
+        disc, Blocks(u=jnp.asarray(uk), p=jnp.zeros(disc.n_nodes_p, disc.dtype))
+    )
+    F = oracle.assemble_fp(free, nu=nu, inv_dt=inv_dt, uk=uk)
+    np.testing.assert_allclose(
+        np.asarray(uops.apply_Fp(disc, nu, inv_dt, linq, jnp.asarray(xp))),
+        F @ xp,
+        atol=1e-11,
+    )
+
+    M = oracle.assemble_fp(free, nu=0.0, inv_dt=1.0)
+    np.testing.assert_allclose(
+        np.asarray(uops.apply_Mp_raw(disc, jnp.asarray(xp))), M @ xp, atol=1e-11
+    )
+    # Stokes limit: Fp(nu, inv_dt=0, linq=None) == nu * Lp on free rows
+    got = np.asarray(uops.apply_Fp(disc, nu, 0.0, None, jnp.asarray(xp)))
+    np.testing.assert_allclose(got[free], nu * (L @ xp)[free], atol=1e-11)
+
+
+@pytest.mark.parametrize("schur", ["cahouet", "pcd"])
+def test_simplex_upgraded_schur_matches_mass_dynamics(schur):
+    """The Cahouet-Chabard / PCD Schur treatments on the -M backend are
+    preconditioner changes only: the converged unsteady trajectory must
+    match the mass-Schur run (same system, same tolerance)."""
+    from navier_stokes_solver_tpu.api import NSSolver, SolverOptions
+    from navier_stokes_solver_tpu.precond import PrecondConfig
+
+    common = dict(mesh_size=(16, 8), Re=5.0, time_span=0.02, time_step=0.01,
+                  solver_type=1, tolerance=1e-10, preconditioner_type=1,
+                  verbose=False, multigrid=False, read_mesh_from_file=True)
+    a = NSSolver(SolverOptions(**common))
+    a.setup()
+    a.solve()
+
+    b = NSSolver(
+        SolverOptions(precond_config=PrecondConfig(schur_mode=schur), **common)
+    )
+    b.setup()
+    b.solve()
+    np.testing.assert_allclose(b.drag_force, a.drag_force, rtol=1e-6)
+
+
 def test_p_multigrid_transfers_and_strength():
     """P2->P1 p-multigrid (unstructured/pmg.py): transfers are exact
     transposes, and the two-level cycle beats point Jacobi by a wide
