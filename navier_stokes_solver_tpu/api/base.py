@@ -248,8 +248,9 @@ class NSSolverBase:
             nodes, tri, bedges, btags, n_x, o.dtype,
             global_disc=self.disc,  # reuse setup()'s disc (no rebuild)
         )
-        # p-MG transfer tables are not decomposition-aware; fused dd runs
-        # use the Jacobi-smoothed inners
+        # the decomposed disc carries per-tile pmg_* transfer tables, so
+        # fused dd runs keep the P2->P1 p-MG inners (p_mg flag copied from
+        # the global disc)
         self.disc = device_put_dist(self._dd_simplex.disc, self.dist_mesh)
         self.K = _FusedOnlyKernels()
 

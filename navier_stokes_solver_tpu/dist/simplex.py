@@ -211,6 +211,39 @@ def decompose_simplex_disc(
     gather_v_t = stacked_inverse(dofs_v_t, n_v)
     gather_p_t = stacked_inverse(dofs_p_t, n_p)
 
+    # ---- per-tile P2 -> P1 transfer tables (pmg_*; sentinels as in
+    # make_simplex_disc).  Every midpoint's edge endpoints are vertices of
+    # a local element, so the p_lut lookups below cannot miss. ----
+    n_vg = g.n_nodes_p  # global vertex count: v-ids below it are vertices
+    guniq = np.asarray(g.edge_verts)
+    pmg_vert_t = np.full((n_dev, n_v), n_p, dtype=np.int32)
+    pmg_edge_t = np.full((n_dev, n_v, 2), n_p, dtype=np.int32)
+    pmg_vertv_t = np.full((n_dev, n_p), n_v, dtype=np.int32)
+    mids_per_tile = []
+    for t in range(n_dev):
+        mids: list[list[int]] = [[] for _ in range(n_p)]
+        for li, gid in enumerate(v_pad[t]):
+            if gid < 0:
+                continue
+            if gid < n_vg:
+                pl = p_lut[t][int(gid)]
+                pmg_vert_t[t, li] = pl
+                pmg_vertv_t[t, pl] = li
+            else:
+                a, b = guniq[int(gid) - n_vg]
+                pa, pb = p_lut[t][int(a)], p_lut[t][int(b)]
+                pmg_edge_t[t, li] = (pa, pb)
+                mids[pa].append(li)
+                mids[pb].append(li)
+        mids_per_tile.append(mids)
+    k_mid = max(
+        1, max(len(m) for mids in mids_per_tile for m in mids)
+    )
+    pmg_mid_t = np.full((n_dev, n_p, k_mid), n_v, dtype=np.int32)
+    for t, mids in enumerate(mids_per_tile):
+        for pl, m in enumerate(mids):
+            pmg_mid_t[t, pl, : len(m)] = m
+
     # ---- nodal quantities: slice global vectors (pad slots read 0) ----
     def slice_nodal(vec, ids_pad, fill=0.0):
         vec = np.asarray(vec)
@@ -278,10 +311,15 @@ def decompose_simplex_disc(
         cyl_edge=jnp.asarray(cyl_edge_t),
         cyl_len=jnp.asarray(cyl_len_t, dtype),
         cyl_normal=jnp.asarray(cyl_nrm_t, dtype),
-        edge_verts=None,  # p-MG under decomposition: not supported
+        edge_verts=None,  # superseded by the local pmg_* tables
         gather_v=jnp.asarray(gather_v_t.astype(np.int32)),
         gather_p=jnp.asarray(gather_p_t.astype(np.int32)),
         gather_ev=None,
+        pmg_vert=jnp.asarray(pmg_vert_t),
+        pmg_edge=jnp.asarray(pmg_edge_t),
+        pmg_vert_v=jnp.asarray(pmg_vertv_t),
+        pmg_mid=jnp.asarray(pmg_mid_t),
+        p_mg=g.p_mg,
         # padding slots read True: they must stay identity rows of the
         # pressure-Laplacian Schur legs (unstructured.ops._p_free)
         p_outlet=jnp.asarray(

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from navier_stokes_solver_tpu.krylov import gmres
 from navier_stokes_solver_tpu.ops.matfree import LinearizationQ
 from navier_stokes_solver_tpu.precond.mg import _gmres_smooth
+from navier_stokes_solver_tpu.unstructured import ops as sops
 from navier_stokes_solver_tpu.unstructured.tri import SimplexDisc
 
 __all__ = ["make_p_vcycle"]
@@ -49,30 +50,34 @@ def _n_verts(disc: SimplexDisc) -> int:
 
 
 def prolong(disc: SimplexDisc, xc: jax.Array) -> jax.Array:
-    """[2, n_verts] P1 nodal -> [2, n_nodes_v] P2 nodal (exact on P1)."""
-    ev = disc.edge_verts
-    mid = 0.5 * (xc[:, ev[:, 0]] + xc[:, ev[:, 1]])
-    return jnp.concatenate([xc, mid], axis=1)
+    """[2, n_verts] P1 nodal -> [2, n_nodes_v] P2 nodal (exact on P1).
+
+    Gather-only through the local ``pmg_*`` tables, so the same code runs
+    on the global disc and inside a strip-decomposed tile (pointwise --
+    seam copies stay consistent without exchange)."""
+    pad = jnp.pad(xc, ((0, 0), (0, 1)))
+    vert = pad[:, disc.pmg_vert]
+    mid = 0.5 * (pad[:, disc.pmg_edge[:, 0]] + pad[:, disc.pmg_edge[:, 1]])
+    return jnp.where(disc.pmg_vert < disc.n_nodes_p, vert, mid)
 
 
 def restrict(disc: SimplexDisc, rf: jax.Array) -> jax.Array:
-    """Transpose of ``prolong``: [2, n_nodes_v] -> [2, n_verts]."""
-    nv = _n_verts(disc)
-    ev = disc.edge_verts
-    mid = 0.5 * rf[:, nv:]
-    src = jnp.concatenate([mid, mid], axis=1)  # [2, 2*n_edges]
-    if disc.gather_ev is not None:
-        pad = jnp.pad(src, ((0, 0), (0, 1)))
-        add = pad[:, disc.gather_ev].sum(axis=-1)
-    else:
-        add = jax.vmap(
-            lambda row: jax.ops.segment_sum(
-                row,
-                jnp.concatenate([ev[:, 0], ev[:, 1]]),
-                num_segments=nv,
-            )
-        )(src)
-    return rf[:, :nv] + add
+    """Transpose of ``prolong``: [2, n_nodes_v] -> [2, n_verts].
+
+    Under strip decomposition the per-edge contributions are weighted by
+    1/multiplicity of the midpoint copy (an edge shared by two tiles is
+    summed by both) and completed with the pressure-space seam exchange;
+    the identity (vertex) part is pointwise on a seam-consistent input
+    and needs neither."""
+    mid = 0.5 * rf
+    if disc.seam_v is not None:
+        mid = mid * disc.seam_v.weight
+    pad = jnp.pad(mid, ((0, 0), (0, 1)))
+    add = pad[:, disc.pmg_mid].sum(axis=-1)
+    if disc.seam_p is not None:
+        add = sops._seam_sum(disc, disc.seam_p, add)
+    ident = jnp.pad(rf, ((0, 0), (0, 1)))[:, disc.pmg_vert_v]
+    return ident + add
 
 
 def _eval_v1(disc: SimplexDisc, u: jax.Array):
@@ -89,12 +94,17 @@ def _eval_v1(disc: SimplexDisc, u: jax.Array):
 def _scatter_v1(disc: SimplexDisc, loc: jax.Array) -> jax.Array:
     flat = loc.reshape(2, -1)
     if disc.gather_p is not None:
-        pad = jnp.pad(flat, ((0, 0), (0, 1)))
-        return pad[:, disc.gather_p].sum(axis=-1)
-    idx = disc.dofs_p.reshape(-1)
-    return jax.vmap(
-        lambda row: jax.ops.segment_sum(row, idx, num_segments=_n_verts(disc))
-    )(flat)
+        y = jnp.pad(flat, ((0, 0), (0, 1)))[:, disc.gather_p].sum(axis=-1)
+    else:
+        idx = disc.dofs_p.reshape(-1)
+        y = jax.vmap(
+            lambda row: jax.ops.segment_sum(
+                row, idx, num_segments=_n_verts(disc)
+            )
+        )(flat)
+    if disc.seam_p is not None:
+        y = sops._seam_sum(disc, disc.seam_p, y)
+    return y
 
 
 def apply_F1(disc, nu, inv_dt, linq1, x, *, stokes, bc_diag):
@@ -115,7 +125,7 @@ def apply_F1(disc, nu, inv_dt, linq1, x, *, stokes, bc_diag):
             "qm,qct,qt->ctm", phi, conv + inv_dt * xv, wdet
         )
     y = _scatter_v1(disc, loc)
-    dir1 = disc.u_dirichlet[: _n_verts(disc)]
+    dir1 = jnp.pad(disc.u_dirichlet, (0, 1))[disc.pmg_vert_v]
     return jnp.where(dir1, bc_diag * x, y)
 
 
@@ -176,18 +186,19 @@ def make_p_vcycle(
         nu = jnp.asarray(nu, dtype)
         inv_dt = jnp.asarray(inv_dt, dtype)
 
-    from navier_stokes_solver_tpu.unstructured import ops as sops
-
-    nv = _n_verts(disc)
     dir_fine = disc.u_dirichlet
-    dir_coarse = disc.u_dirichlet[:nv]
+    # vertex gathers through pmg_vert_v (NOT [:n_nodes_p]: tile-local
+    # numbering under strip decomposition is padded, vertices are only
+    # *mostly* the leading slots)
+    dir_coarse = jnp.pad(dir_fine, (0, 1))[disc.pmg_vert_v]
 
     if stokes or state_u is None:
         linq = linq1 = None
     else:
         vals, grads = sops._eval_v(disc, state_u)
         linq = LinearizationQ(u=vals, gradu=grads, p=None)
-        u1 = state_u[:, :nv]  # vertex-injected coarse state
+        # vertex-injected coarse state
+        u1 = jnp.pad(state_u, ((0, 0), (0, 1)))[:, disc.pmg_vert_v]
         v1, g1 = _eval_v1(disc, u1)
         linq1 = LinearizationQ(u=v1, gradu=g1, p=None)
 
@@ -205,23 +216,28 @@ def make_p_vcycle(
 
     dinv = 1.0 / diag_f
     dinv1 = 1.0 / d1
+    # seam-weighted + psum'd under strip decomposition (plain vdot
+    # single-tile); shape dispatch inside make_dot picks the u/p weights
+    dot = sops.make_dot(disc)
 
     def M(b):
         b = b.astype(disc.dtype)
-        x = _gmres_smooth(A, dinv, b, jnp.zeros_like(b), smooth_degree)
+        x = _gmres_smooth(A, dinv, b, jnp.zeros_like(b), smooth_degree,
+                          dot=dot)
         r = jnp.where(dir_fine, 0.0, b - A(x))
         rc = jnp.where(dir_coarse, 0.0, restrict(disc, r))
         xc, _ = gmres(
             A1,
             rc,
             jnp.zeros_like(rc),
-            tol=coarse_rtol * jnp.sqrt(jnp.vdot(rc, rc).real),
+            tol=coarse_rtol * jnp.sqrt(dot(rc, rc)),
             maxiter=coarse_iters,
             M=lambda v: dinv1 * v,
             basis=coarse_iters,
+            dot=dot,
         )
         x = x + jnp.where(dir_fine, 0.0, prolong(disc, xc))
-        x = _gmres_smooth(A, dinv, b, x, smooth_degree)
+        x = _gmres_smooth(A, dinv, b, x, smooth_degree, dot=dot)
         return x.astype(out_dtype)
 
     return M

@@ -103,6 +103,18 @@ class SimplexDisc:
     # pressure Laplacian / convection-diffusion Schur legs
     # (ops.matfree.p_outlet_mask analog)
     p_outlet: jax.Array | None = None  # [n_nodes_p] bool
+    # P2 -> P1 p-multigrid transfer tables in LOCAL indices (valid on the
+    # global disc AND on decomposed tiles -- unstructured/pmg.py):
+    #   pmg_vert:   v-slot -> its P1 (vertex) slot, sentinel n_nodes_p
+    #   pmg_edge:   midpoint v-slot -> its edge's endpoint P1 slots,
+    #               sentinel n_nodes_p on vertex/padding slots
+    #   pmg_vert_v: P1 slot -> its v-slot, sentinel n_nodes_v
+    #   pmg_mid:    P1 slot -> adjacent midpoint v-slots (padded),
+    #               sentinel n_nodes_v
+    pmg_vert: jax.Array | None = None  # [n_nodes_v] int32
+    pmg_edge: jax.Array | None = None  # [n_nodes_v, 2] int32
+    pmg_vert_v: jax.Array | None = None  # [n_nodes_p] int32
+    pmg_mid: jax.Array | None = None  # [n_nodes_p, K] int32
     # enable the P1-coarse velocity preconditioner (the simplex analog of
     # the structured geometric-MG ILU/AMG equivalence layer)
     p_mg: bool = struct.field(pytree_node=False, default=False)
@@ -339,6 +351,17 @@ def make_simplex_disc(
                 continue
             np.add.at(out[c], dofs_v[t], loc * n[c])
 
+    # ---- P2 -> P1 p-multigrid transfer tables (local = global here) ----
+    pmg_vert = np.full(n_nodes_v, n_verts, dtype=np.int32)
+    pmg_vert[:n_verts] = np.arange(n_verts)
+    pmg_edge = np.full((n_nodes_v, 2), n_verts, dtype=np.int32)
+    pmg_edge[n_verts:] = uniq
+    pmg_vert_v = np.arange(n_verts, dtype=np.int32)
+    ge = invert_scatter(np.concatenate([uniq[:, 0], uniq[:, 1]]), n_verts)
+    pmg_mid = np.where(
+        ge == 2 * n_edges, n_nodes_v, n_verts + (ge % max(n_edges, 1))
+    ).astype(np.int32)
+
     return SimplexDisc(
         n_nodes_v=n_nodes_v,
         n_nodes_p=n_verts,
@@ -364,4 +387,8 @@ def make_simplex_disc(
             invert_scatter(uniq.T, n_verts)  # [2*n_edges] = [ep0..., ep1...]
         ),
         p_outlet=jnp.asarray(p_out_mask),
+        pmg_vert=jnp.asarray(pmg_vert),
+        pmg_edge=jnp.asarray(pmg_edge),
+        pmg_vert_v=jnp.asarray(pmg_vert_v),
+        pmg_mid=jnp.asarray(pmg_mid),
     )
