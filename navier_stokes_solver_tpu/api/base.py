@@ -356,6 +356,10 @@ class NSSolverBase:
             first = False
             it = int(info.iters)  # blocks until this chunk finishes
             total += it
+            self.log(
+                f"   [chunk] {total} iterations, residual "
+                f"{float(info.resnorm):.3e}"
+            )
             if bool(info.failed):
                 # deal.II SolverControl::check_failure would throw
                 # NoConvergence here (non-finite residual / breakdown);

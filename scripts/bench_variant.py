@@ -24,11 +24,19 @@ def main(argv=None):
     ap.add_argument("--tri-rel-p", type=float, default=None)
     ap.add_argument("--mesh", default="100,70")
     ap.add_argument("--tol", type=float, default=1e-12)
+    ap.add_argument("--schur", default="mass", choices=("mass", "cahouet", "pcd"))
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (iteration-count A/Bs; walls are "
+        "meaningless there)",
+    )
     args = ap.parse_args(argv)
 
     os.environ.setdefault("NSTPU_CACHE_DIR", "/tmp/nstpu_jax_cache")
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", os.environ["NSTPU_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -41,6 +49,7 @@ def main(argv=None):
         krylov_cycle_dtype=args.ir,
         tri_rel_u=args.tri_rel_u,
         tri_rel_p=args.tri_rel_p,
+        schur_mode=args.schur,
     )
     opts = SolverOptions(
         mesh_size=(mx, my), degree_velocity=3, degree_pressure=2,
@@ -62,7 +71,8 @@ def main(argv=None):
         json.dumps(
             {
                 "metric": f"bench_variant_{mx}x{my}_b{args.basis}"
-                f"_ir{args.ir}_trelu{args.tri_rel_u}_trelp{args.tri_rel_p}",
+                f"_ir{args.ir}_trelu{args.tri_rel_u}_trelp{args.tri_rel_p}"
+                f"_schur{args.schur}",
                 "value": round(wall, 2),
                 "unit": "s",
                 "extra": {
