@@ -26,6 +26,12 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-12)
     ap.add_argument("--schur", default="mass", choices=("mass", "cahouet", "pcd"))
     ap.add_argument(
+        "--inner-mode", default="auto", choices=("auto", "krylov", "fixed"),
+        help="blockTriangular inner solves: nested Krylov (reference "
+        "semantics) vs fixed V-cycle sweeps (PrecondConfig.inner_mode)",
+    )
+    ap.add_argument("--fixed-f-cycles", type=int, default=2)
+    ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (iteration-count A/Bs; walls are "
         "meaningless there)",
@@ -50,11 +56,14 @@ def main(argv=None):
         tri_rel_u=args.tri_rel_u,
         tri_rel_p=args.tri_rel_p,
         schur_mode=args.schur,
+        inner_mode=args.inner_mode,
+        fixed_f_cycles=args.fixed_f_cycles,
     )
     opts = SolverOptions(
         mesh_size=(mx, my), degree_velocity=3, degree_pressure=2,
         Re=100.0, solver_type=1, tolerance=args.tol,
-        preconditioner_type=1, verbose=False,
+        preconditioner_type=1,
+        verbose=bool(os.environ.get("NSTPU_VARIANT_VERBOSE")),
         krylov_basis=args.basis, precond_config=cfg,
     )
     s = NSSolverStationary(opts)
@@ -72,7 +81,7 @@ def main(argv=None):
             {
                 "metric": f"bench_variant_{mx}x{my}_b{args.basis}"
                 f"_ir{args.ir}_trelu{args.tri_rel_u}_trelp{args.tri_rel_p}"
-                f"_schur{args.schur}",
+                f"_schur{args.schur}_im{args.inner_mode}",
                 "value": round(wall, 2),
                 "unit": "s",
                 "extra": {
