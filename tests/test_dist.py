@@ -196,3 +196,44 @@ def test_dist_2d_step_matches_single_chip():
         np.asarray(sol.p), np.asarray(ts.solution.p), atol=1e-6
     )
     np.testing.assert_allclose(float(tsd.drag[0]), float(ts.drag), atol=1e-7)
+
+
+def test_dist_step_cahouet_lp_vcycle_matches_single():
+    """Fused unsteady step with the Cahouet-Chabard Schur under 1-D
+    decomposition: the (1/dt) Lp^-1 leg runs a pressure V-cycle over the
+    decomposed MG chain (seam-weighted restriction + seam sums,
+    precond.mg.make_lp_vcycle), and must reproduce the single-device
+    cahouet step -- the structured twin of
+    test_dist_simplex.test_simplex_dist_step_pmg_cahouet_matches_single."""
+    from navier_stokes_solver_tpu.precond import PrecondConfig
+    from navier_stokes_solver_tpu.precond.mg import attach_mg, mg_level_shapes
+
+    disc = attach_mg(_disc())
+    kw = dict(
+        solver_type=1, prec_type=1, tol=1e-10, newton_max=3,
+        krylov_maxiter=300,
+        precond_cfg=PrecondConfig(schur_mode="cahouet"),
+    )
+    step = make_time_step(disc, **kw)
+    ts = initial_state(disc)
+    for _ in range(2):
+        ts = jax.jit(step)(ts, 0.01, 0.01)
+
+    mesh = make_mesh(n_x=2, devices=jax.devices()[:2])
+    sdisc_host = decompose_disc(disc, 2)
+    tile = jax.tree_util.tree_map(lambda a: a[0], sdisc_host)
+    assert len(mg_level_shapes(tile)) >= 2  # Lp leg sees a real chain
+    sdisc = device_put_dist(sdisc_host, mesh)
+    dstep = make_dist_time_step(sdisc, mesh, **kw)
+    tsd = device_put_dist(init_dist_state(sdisc), mesh)
+    for _ in range(2):
+        tsd = jax.jit(dstep)(tsd, 0.01, 0.01)
+
+    sol = gather_blocks(tsd.solution, sdisc)
+    np.testing.assert_allclose(
+        np.asarray(sol.u), np.asarray(ts.solution.u), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.p), np.asarray(ts.solution.p), atol=1e-6
+    )
+    np.testing.assert_allclose(float(tsd.drag[0]), float(ts.drag), atol=1e-7)
