@@ -53,10 +53,20 @@ def main():
         # absolute tolerance, automatic host fallback to f64 cycles on
         # stall.  Disable with NSTPU_BENCH_NO_IR=1 for the f64-outer
         # reference measurement.
+        # Stokes-regime-only tight inners: the mass-Schur Stokes outer
+        # count is h-inflated at the reference's rel-1e-2 inners (110
+        # outers at 100x70 vs 59 at rel 1e-4, wall -25%); Newton-regime
+        # solves see no benefit and keep the reference tolerances.  Full
+        # 100x70 continuation: 537 -> 449 outers, wall -12% (CPU-measured
+        # A/B, docs/PERF.md).
         precond_config=(
             None
             if os.environ.get("NSTPU_BENCH_NO_IR")
-            else PrecondConfig(krylov_cycle_dtype="float32")
+            else PrecondConfig(
+                krylov_cycle_dtype="float32",
+                tri_rel_u_stokes=1e-4,
+                tri_rel_p_stokes=1e-4,
+            )
         ),
     )
     # The axon TPU worker occasionally dies mid-run ("kernel fault" /

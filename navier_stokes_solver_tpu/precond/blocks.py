@@ -128,6 +128,16 @@ class PrecondConfig:
     # tolerance (measured in docs/PERF.md).
     tri_rel_u: float | None = None
     tri_rel_p: float | None = None
+    # Stokes-regime-only overrides (take precedence over tri_rel_u/p when
+    # the linearization is a Stokes operator, a static trace-time fact).
+    # The mass-Schur Stokes outer count is only h-independent when the
+    # inner solves are accurate enough: at 100x70 Q3/Q2 basis 60 the first
+    # Stokes tangent solve costs 110 outers at the reference's rel 1e-2
+    # inners but 59 at rel 1e-4 (and the wall DROPS ~25%), while the
+    # Newton-regime solves see no such win (docs/PERF.md).  None = use
+    # tri_rel_u/p semantics unchanged.
+    tri_rel_u_stokes: float | None = None
+    tri_rel_p_stokes: float | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -462,7 +472,12 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     """
     mf = ctx.smoother_F(cfg)
     dot, nrm = ctx.dot(), ctx.norm()
-    for name, v in (("tri_rel_u", cfg.tri_rel_u), ("tri_rel_p", cfg.tri_rel_p)):
+    for name, v in (
+        ("tri_rel_u", cfg.tri_rel_u),
+        ("tri_rel_p", cfg.tri_rel_p),
+        ("tri_rel_u_stokes", cfg.tri_rel_u_stokes),
+        ("tri_rel_p_stokes", cfg.tri_rel_p_stokes),
+    ):
         if v is not None and not v > 0.0:
             raise ValueError(f"PrecondConfig.{name} must be > 0, got {v!r}")
     rel_u = cfg.tri_rel_u if cfg.tri_rel_u is not None else (
@@ -471,6 +486,11 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
     rel_p = cfg.tri_rel_p if cfg.tri_rel_p is not None else (
         1e-5 if variant == "unsteady" else 1e-2
     )
+    if ctx.stokes:  # static at trace time
+        if cfg.tri_rel_u_stokes is not None:
+            rel_u = cfg.tri_rel_u_stokes
+        if cfg.tri_rel_p_stokes is not None:
+            rel_p = cfg.tri_rel_p_stokes
 
     if _resolve_inner_mode(ctx, cfg) == "fixed":
         solve_f = _fixed_F_solver(ctx, cfg, mf)

@@ -22,6 +22,8 @@ def main(argv=None):
     ap.add_argument("--ir", default=None, choices=("float32", "mixed"))
     ap.add_argument("--tri-rel-u", type=float, default=None)
     ap.add_argument("--tri-rel-p", type=float, default=None)
+    ap.add_argument("--tri-rel-u-stokes", type=float, default=None)
+    ap.add_argument("--tri-rel-p-stokes", type=float, default=None)
     ap.add_argument("--mesh", default="100,70")
     ap.add_argument("--tol", type=float, default=1e-12)
     ap.add_argument("--schur", default="mass", choices=("mass", "cahouet", "pcd"))
@@ -55,6 +57,8 @@ def main(argv=None):
         krylov_cycle_dtype=args.ir,
         tri_rel_u=args.tri_rel_u,
         tri_rel_p=args.tri_rel_p,
+        tri_rel_u_stokes=args.tri_rel_u_stokes,
+        tri_rel_p_stokes=args.tri_rel_p_stokes,
         schur_mode=args.schur,
         inner_mode=args.inner_mode,
         fixed_f_cycles=args.fixed_f_cycles,

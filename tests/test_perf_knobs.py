@@ -110,3 +110,26 @@ def test_cahouet_schur_invariance_unsteady():
     # the Laplacian leg is why the mode exists: it must not cost outer
     # iterations (measured 407 -> 212 at this config)
     assert res["cahouet"][2] <= res["mass"][2]
+
+
+def test_tri_rel_stokes_override_invariance():
+    """Stokes-regime-only inner-tolerance overrides (the bench's tuned
+    configuration) must not change converged answers, and can only cut
+    iterations on the Stokes-regime solves."""
+    a = _solve()
+    b = _solve(precond_config=PrecondConfig(
+        tri_rel_u_stokes=1e-4, tri_rel_p_stokes=1e-4,
+    ))
+    ua, pa = a.fields()
+    ub, pb = b.fields()
+    np.testing.assert_allclose(ub, ua, atol=1e-8)
+    np.testing.assert_allclose(pb, pa, atol=1e-7)
+    np.testing.assert_allclose(b.drag_force, a.drag_force, rtol=1e-6)
+    ita = sum(h["krylov_iters"] for h in a.history)
+    itb = sum(h["krylov_iters"] for h in b.history)
+    assert itb <= ita
+
+
+def test_tri_rel_stokes_zero_rejected():
+    with pytest.raises(ValueError, match="tri_rel_u_stokes"):
+        _solve(precond_config=PrecondConfig(tri_rel_u_stokes=0.0))
