@@ -50,6 +50,14 @@ def main(argv=None):
     )
     ap.add_argument("--basis", type=int, default=30,
                     help="outer GMRES/FGMRES restart basis")
+    ap.add_argument(
+        "-M", "--simplex", nargs="?", const="", default=None, metavar="FILE",
+        help="unstructured P2/P1 simplex backend (the reference's "
+        "benchmarked unsteady config is -M, run_sim_unsteady.sh:21); "
+        "with FILE read a gmsh .msh, without triangulate internally",
+    )
+    ap.add_argument("--schur", default="mass",
+                    choices=("mass", "cahouet", "pcd"))
     args = ap.parse_args(argv)
 
     import jax
@@ -76,6 +84,8 @@ def main(argv=None):
             w.writerow(["time", "proc", "dim_x", "dim_y", "solver", "prec"])
 
         for rep in range(args.repeats):
+            from navier_stokes_solver_tpu.precond import PrecondConfig
+
             opts = SolverOptions(
                 mesh_size=(dim_x, dim_y),
                 degree_velocity=deg_v,
@@ -88,6 +98,12 @@ def main(argv=None):
                 verbose=False,
                 dd=dd,
                 krylov_basis=args.basis,
+                read_mesh_from_file=args.simplex is not None,
+                mesh_file_name=args.simplex or "",
+                precond_config=(
+                    PrecondConfig(schur_mode=args.schur)
+                    if args.schur != "mass" else None
+                ),
             )
             timer = PhaseTimer()
             if args.unsteady:
