@@ -138,6 +138,13 @@ class PrecondConfig:
     # tri_rel_u/p semantics unchanged.
     tri_rel_u_stokes: float | None = None
     tri_rel_p_stokes: float | None = None
+    # GMRES-IR in-cycle residual-reduction floor (krylov.LowCycle.eta;
+    # None = LowCycle's default 1e-6).  A single f32 cycle cannot reduce
+    # the residual much below ~eps_f32 relative to its restart residual;
+    # larger eta returns to the f64 restart earlier (cheaper cycles, more
+    # restarts), smaller eta lets long cycles run into the f32
+    # orthogonality noise floor.
+    ir_eta: float | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -669,6 +676,8 @@ def make_krylov_lo(kind: int, ctx: LinearContext, *, variant: str, cfg):
             ctx_lo.diag_f, x, stokes=ctx_lo.stokes,
         )
 
+    eta = getattr(cfg, "ir_eta", None)
+    kw = {} if eta is None else {"eta": eta}
     if mixed:
         cast = lambda t, dt: jax.tree_util.tree_map(
             lambda a: a.astype(dt), t
@@ -678,9 +687,12 @@ def make_krylov_lo(kind: int, ctx: LinearContext, *, variant: str, cfg):
             M=lambda x: cast(M_lo(cast(x, wd)), hi),
             dot=make_dot(ctx.disc),
             dtype=hi,
+            **kw,
         )
 
-    return LowCycle(matvec=A_lo, M=M_lo, dot=make_dot(ctx_lo.disc), dtype=wd)
+    return LowCycle(
+        matvec=A_lo, M=M_lo, dot=make_dot(ctx_lo.disc), dtype=wd, **kw
+    )
 
 
 # ---------------------------------------------------------------------------

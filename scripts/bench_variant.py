@@ -33,6 +33,7 @@ def main(argv=None):
         "semantics) vs fixed V-cycle sweeps (PrecondConfig.inner_mode)",
     )
     ap.add_argument("--fixed-f-cycles", type=int, default=2)
+    ap.add_argument("--ir-eta", type=float, default=None)
     ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (iteration-count A/Bs; walls are "
@@ -62,6 +63,7 @@ def main(argv=None):
         schur_mode=args.schur,
         inner_mode=args.inner_mode,
         fixed_f_cycles=args.fixed_f_cycles,
+        ir_eta=args.ir_eta,
     )
     opts = SolverOptions(
         mesh_size=(mx, my), degree_velocity=3, degree_pressure=2,
