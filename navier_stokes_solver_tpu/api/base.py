@@ -40,6 +40,11 @@ class SolverOptions:
     krylov_basis: int = 30
     read_mesh_from_file: bool = False  # -M (switches degrees to 2,1)
     mesh_file_name: str = ""
+    # Domain: "channel" = the reference's Schaefer-Turek channel+cylinder
+    # (the only geometry the reference supports); "cavity" = lid-driven
+    # cavity extension (geometry/cavity.py, Ghia et al. benchmark) --
+    # structured path only.
+    geometry: str = "channel"
     alpha: float = 0.5  # aSIMPLE damping (hardcoded, NSSolver.cpp:645)
     multigrid: bool = True  # geometric-MG velocity smoother (AMG/ILU analog)
     dtype: Any = None  # default: f64 when x64 enabled
@@ -130,7 +135,18 @@ class NSSolverBase:
         from a triangulated internal channel when no file is given."""
         o = self.options
         t0 = _time.perf_counter()
-        self.geo = make_channel_geometry(*o.mesh_size)
+        if o.geometry == "cavity":
+            if o.read_mesh_from_file:
+                raise ValueError(
+                    "geometry='cavity' is structured-path only (no -M)"
+                )
+            from navier_stokes_solver_tpu.geometry import make_cavity_geometry
+
+            self.geo = make_cavity_geometry(*o.mesh_size)
+        elif o.geometry == "channel":
+            self.geo = make_channel_geometry(*o.mesh_size)
+        else:
+            raise ValueError(f"unknown geometry {o.geometry!r}")
         if o.read_mesh_from_file:
             from navier_stokes_solver_tpu.unstructured import (
                 make_simplex_disc,

@@ -112,6 +112,13 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
         "h/dt-robust unsteady outer counts) or 'pcd' (pressure "
         "convection-diffusion; adds Re-robustness)",
     )
+    p.add_argument(
+        "--cavity",
+        action="store_true",
+        help="solve the lid-driven cavity (unit box, moving top lid) "
+        "instead of the channel -- an extension beyond the reference "
+        "(geometry/cavity.py; Ghia et al. 1982 benchmark geometry)",
+    )
     p.add_argument("--output", action="store_true", help="write VTU snapshots")
     p.add_argument("--output-dir", default=".", metavar="DIR")
     p.add_argument("--quiet", action="store_true")
@@ -140,6 +147,7 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
         preconditioner_type=args.preconditioner,
         read_mesh_from_file=args.read_mesh_from_file is not None,
         mesh_file_name=args.read_mesh_from_file or "",
+        geometry="cavity" if args.cavity else "channel",
         verbose=not args.quiet,
         write_output=args.output,
         output_dir=args.output_dir,

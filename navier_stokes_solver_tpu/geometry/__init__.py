@@ -9,11 +9,13 @@ from navier_stokes_solver_tpu.geometry.channel import (
     ChannelGeometry,
     make_channel_geometry,
 )
+from navier_stokes_solver_tpu.geometry.cavity import make_cavity_geometry
 from navier_stokes_solver_tpu.geometry.space import FESpace, make_fe_space
 
 __all__ = [
     "ChannelGeometry",
     "make_channel_geometry",
+    "make_cavity_geometry",
     "FESpace",
     "make_fe_space",
     "BOUNDARY_WALL",

@@ -68,6 +68,10 @@ class ChannelGeometry:
     # INTERIOR if the face is shared by two active cells or the cell is
     # inactive.
     face_id: np.ndarray  # [4, ny, nx] int
+    # Shape of the boundary-id-7 Dirichlet data as a function of y:
+    # "parabola" = the reference's 4*u*y*(H-y)/H^2 inlet (NSSolver.hpp:71),
+    # "constant" = uniform value u (moving lid of the driven-cavity case).
+    inlet_kind: str = "parabola"
 
     @property
     def hx(self) -> float:

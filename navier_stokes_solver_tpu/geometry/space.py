@@ -140,8 +140,14 @@ class FESpace:
         NSSolverStationary.hpp:75 (stationary, rampable u).  ``H`` is the
         hardcoded 0.41 from the reference, independent of the actual domain.
         Returns an [NVy] array (x-velocity; y-velocity is zero).
+
+        For ``geo.inlet_kind == "constant"`` (driven-cavity lid) the profile
+        is uniform ``u_max`` -- the boundary-id-7 mask selects the lid row,
+        so the broadcast assigns u_x = u_max on the whole moving wall.
         """
         y = self.y_v
+        if self.geo.inlet_kind == "constant":
+            return np.full_like(y, u_max)
         return 4.0 * u_max * y * (H - y) / (H * H)
 
 

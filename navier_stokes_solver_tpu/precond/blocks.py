@@ -135,7 +135,10 @@ class PrecondConfig:
     # Stokes tangent solve costs 110 outers at the reference's rel 1e-2
     # inners but 59 at rel 1e-4 (and the wall DROPS ~25%), while the
     # Newton-regime solves see no such win (docs/PERF.md).  None = use
-    # tri_rel_u/p semantics unchanged.
+    # tri_rel_u/p semantics unchanged.  Also applied to the *stationary
+    # aSIMPLE* inner FGMRES(F)/CG(S) solves (reference rel 1e-1,
+    # NSSolverStationary.hpp:290-305) on Stokes-regime systems, same
+    # rationale.
     tri_rel_u_stokes: float | None = None
     tri_rel_p_stokes: float | None = None
     # GMRES-IR in-cycle residual-reduction floor (krylov.LowCycle.eta;
@@ -593,6 +596,16 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
 
         fixed = _resolve_inner_mode(ctx, cfg) == "fixed"
         solve_f = _fixed_F_solver(ctx, cfg, mf) if fixed else None
+        # Reference inners are rel 1e-1 (NSSolverStationary.hpp:290-305).
+        # The Stokes-regime-only tight override (see make_block_triangular)
+        # applies here for the same reason: the Schur-preconditioned Stokes
+        # outer count is h-flat only with accurate enough inner solves.
+        rel_f = rel_s = 1e-1
+        if ctx.stokes:  # static at trace time
+            if cfg.tri_rel_u_stokes is not None:
+                rel_f = cfg.tri_rel_u_stokes
+            if cfg.tri_rel_p_stokes is not None:
+                rel_s = cfg.tri_rel_p_stokes
 
         def vmult(src: Blocks) -> Blocks:
             if fixed:
@@ -602,13 +615,13 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
                     ctx.F,
                     src.u,
                     _zeros_u(ctx),
-                    tol=1e-1 * nrm(src.u),
+                    tol=rel_f * nrm(src.u),
                     maxiter=cfg.inner_maxiter,
                     M=mf,
                     dot=dot,
                 )
             tmp_p = src.p - ctx.B(du)
-            dp = _solve_S(ctx, cfg, tmp_p, tol=1e-1 * nrm(tmp_p))
+            dp = _solve_S(ctx, cfg, tmp_p, tol=rel_s * nrm(tmp_p))
             dp = dp * alpha
             du = du - Dinv * ctx.Bt(dp)
             return Blocks(u=du, p=dp)

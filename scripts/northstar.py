@@ -147,7 +147,13 @@ def run_unsteady(args):
 
 
 def _precond_cfg(args):
-    if args.ir is None and args.schur == "mass" and args.lp_cycles is None:
+    tri_stokes = getattr(args, "tri_stokes", None)
+    if (
+        args.ir is None
+        and args.schur == "mass"
+        and args.lp_cycles is None
+        and tri_stokes is None
+    ):
         return None
     from navier_stokes_solver_tpu.precond import PrecondConfig
 
@@ -155,6 +161,8 @@ def _precond_cfg(args):
         krylov_cycle_dtype=args.ir,
         schur_mode=args.schur,
         cc_lp_cycles=args.lp_cycles,
+        tri_rel_u_stokes=tri_stokes,
+        tri_rel_p_stokes=tri_stokes,
     )
 
 
@@ -211,6 +219,10 @@ def main(argv=None):
     ap.add_argument("--lp-cycles", type=int, default=None,
                     help="fixed Lp V-cycles per Schur leg instead of the "
                     "nested Lp solve (PrecondConfig.cc_lp_cycles)")
+    ap.add_argument("--tri-stokes", type=float, default=None,
+                    help="Stokes-regime-only blockTriangular/aSIMPLE inner "
+                    "relative tolerance override (h-flat Stokes outer "
+                    "counts at 1e-4; PrecondConfig.tri_rel_*_stokes)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     out = run_unsteady(args) if args.which == "unsteady" else run_stationary(args)
