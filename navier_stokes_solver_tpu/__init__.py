@@ -33,6 +33,23 @@ if not os.environ.get("NSTPU_DISABLE_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# TPU MXU passes for f32 contractions: XLA's DEFAULT precision lowers
+# f32 dot/einsum operands to single-pass bfloat16 multiplies on TPU, so
+# the "f32" preconditioner vmult (PrecondConfig.vmult_dtype), the MG
+# V-cycle and the GMRES-IR f32 restart cycles were silently running
+# bf16-quality arithmetic on device -- weaker inner solves / Arnoldi
+# subspaces and h-inflated outer iteration counts relative to the same
+# f32 program on CPU (true f32 there; measured at the 100x70 bench:
+# 1744 TPU outers vs 697 CPU-predicted for the identical config).
+# "float32" = HIGHEST (6-pass bf16 emulation of full f32); set
+# NSTPU_MATMUL_PRECISION=bfloat16_3x (HIGH) or =default to experiment.
+# f64 contractions are unaffected by this flag.
+_prec = os.environ.get("NSTPU_MATMUL_PRECISION", "float32")
+if _prec != "default":
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", _prec)
+
 # Persistent compilation cache: the nested-Krylov programs are large and the
 # (remote) TPU compiler is slow; cache compiled executables across processes.
 if not os.environ.get("NSTPU_DISABLE_COMPILE_CACHE"):

@@ -9,17 +9,24 @@ from navier_stokes_solver_tpu.cli.common import echo_config, parse_options
 
 
 def main(argv=None):
-    opts = parse_options(argv if argv is not None else sys.argv[1:], unsteady=False)
+    argv = list(argv if argv is not None else sys.argv[1:])
+    # extension: skip the reference's Re-continuation ramp and Newton at
+    # exactly nu = 1/Re (NSSolverStationary.solve_direct)
+    direct = "--direct" in argv
+    if direct:
+        argv.remove("--direct")
+    opts = parse_options(argv, unsteady=False)
     echo_config(opts, unsteady=False)
     problem = NSSolverStationary(opts)
     problem.setup()
+    solve = problem.solve_direct if direct else problem.solve_newton
     if opts.profile_dir:
         from navier_stokes_solver_tpu.obs import trace_to
 
         with trace_to(opts.profile_dir):
-            problem.solve_newton()
+            solve()
     else:
-        problem.solve_newton()
+        solve()
     problem.output()
     problem.compute_lift_drag()
     problem.print_lift_coeff()

@@ -24,7 +24,7 @@ BASE = dict(
 
 
 def _solve(**kw):
-    s = NSSolverStationary(SolverOptions(**BASE, **kw))
+    s = NSSolverStationary(SolverOptions(**{**BASE, **kw}))
     s.setup()
     s.solve_newton()
     s.compute_lift_drag()
@@ -133,3 +133,21 @@ def test_tri_rel_stokes_override_invariance():
 def test_tri_rel_stokes_zero_rejected():
     with pytest.raises(ValueError, match="tri_rel_u_stokes"):
         _solve(precond_config=PrecondConfig(tri_rel_u_stokes=0.0))
+
+
+def test_asimple_stokes_override_invariance():
+    """The Stokes-regime tight-inner override also applies to the
+    stationary aSIMPLE inner FGMRES(F)/CG(S) solves (reference rel 1e-1,
+    NSSolverStationary.hpp:290-305); answers must be unchanged."""
+    a = _solve(preconditioner_type=2)
+    b = _solve(
+        preconditioner_type=2,
+        precond_config=PrecondConfig(
+            tri_rel_u_stokes=1e-4, tri_rel_p_stokes=1e-4
+        ),
+    )
+    ua, pa = a.fields()
+    ub, pb = b.fields()
+    np.testing.assert_allclose(ub, ua, atol=1e-8)
+    np.testing.assert_allclose(pb, pa, atol=1e-7)
+    np.testing.assert_allclose(b.drag_force, a.drag_force, rtol=1e-6)
