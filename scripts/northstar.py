@@ -54,8 +54,12 @@ def run_unsteady(args):
     space = make_fe_space(geo, 3, 2)
     disc = attach_mg(make_disc(space))
     n_dofs = space.n_dofs
-    # the reference ramp for Re=100 tops out at nu = 1/91 (NSSolver.cpp:684)
-    nu, dt = 1.0 / 91.0, 0.01
+    # the reference's per-step ramp current_Re = 1 : +10 : target
+    # (NSSolver.cpp:684) tops out at the largest 1+10k <= target, so
+    # Re=100 -> nu = 1/91, Re=1000 -> nu = 1/991.  --re/--dt override for
+    # the other BASELINE configs (config 4: 600x200 Re=1000 dt=0.005).
+    nu = 1.0 / (1.0 + 10.0 * int((args.re - 1.0) // 10.0))
+    dt = args.dt
 
     cfg = _precond_cfg(args)
     # One fused step must stay within the TPU per-call execution budget:
@@ -121,7 +125,10 @@ def run_unsteady(args):
     per_step_sorted = sorted(per_step)
     median = per_step_sorted[len(per_step) // 2]
     out = {
-        "metric": f"unsteady_per_step_wallclock_{mx}x{my}_Q3Q2_Re100_fused",
+        "metric": (
+            f"unsteady_per_step_wallclock_{mx}x{my}_Q3Q2_Re{args.re:g}_fused"
+            + (f"_dt{args.dt:g}" if args.dt != 0.01 else "")
+        ),
         "value": round(median, 3),
         "unit": "s/step",
         "extra": {
@@ -207,6 +214,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=["unsteady", "stationary"])
     ap.add_argument("--mesh", default="300,100")
+    ap.add_argument("--re", type=float, default=100.0,
+                    help="target Reynolds number (the quasi-steady nu is "
+                    "the reference ramp's top, 1+10k <= Re)")
+    ap.add_argument("--dt", type=float, default=0.01)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--tol", type=float, default=1e-9)
     ap.add_argument("--krylov-maxiter", type=int, default=100)
