@@ -543,19 +543,42 @@ def make_block_triangular(ctx: LinearContext, cfg: PrecondConfig, variant: str):
 # ---------------------------------------------------------------------------
 
 
-def _solve_S(ctx: LinearContext, cfg: PrecondConfig, rhs, tol):
+def _S_preconditioner(ctx: LinearContext, cfg: PrecondConfig):
+    """The ILU(S-hat) analog (reference initializes ILU on the assembled
+    S-hat, NSSolver.hpp:289-292 / NSSolverStationary.hpp:265-269): a
+    pressure-Laplacian V-cycle (Jacobi where the MG chain carries no
+    pressure transfers).  S-hat = B diag(F)^-1 B^T is spectrally
+    equivalent to Lp uniformly in h, so the unpreconditioned CG's
+    ~1/h-growing inner counts (which stall the 300x100 Stokes solves once
+    they exceed ``asimple_s_maxiter``) become h-independent.  ``None``
+    when the backend exposes no pressure-Laplacian surface."""
+    if not hasattr(ctx.ops, "apply_Lp"):
+        return None
+    return _lp_preconditioner(ctx, cfg)
+
+
+def _solve_S(ctx: LinearContext, cfg: PrecondConfig, rhs, tol, M=None):
     """Inner solve with the approximate Schur complement.
 
     In the Newton regime S = B diag(F)^-1 B^T is (nearly) SPD; in the Stokes
-    regime the continuity sign flip makes it negative definite, so CG runs on
-    -S (a documented deviation: the reference's Trilinos CG/ILU operate on
-    the same sign-indefinite operator and rely on loose tolerances).
+    regime the continuity sign flip makes it negative definite, so the solve
+    runs on -S (a documented deviation: the reference's Trilinos CG/ILU
+    operate on the same sign-indefinite operator and rely on loose
+    tolerances).  With an ``_S_preconditioner`` the method is FGMRES --
+    the V-cycle's inexact coarse solve makes the preconditioner mildly
+    nonlinear, which stalls CG (same trade as ``_make_p_solver``).
     """
     if ctx.stokes:
         op = lambda p: -ctx.S(p)
         rhs = -rhs
     else:
         op = ctx.S
+    if M is not None:
+        dp, info = fgmres(
+            op, rhs, jnp.zeros_like(rhs), tol=tol,
+            maxiter=cfg.asimple_s_maxiter, M=M, dot=make_dot(ctx.disc),
+        )
+        return dp
     dp, info = cg(
         op, rhs, jnp.zeros_like(rhs), tol=tol, maxiter=cfg.asimple_s_maxiter,
         dot=make_dot(ctx.disc),
@@ -579,13 +602,16 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
     dot, nrm = ctx.dot(), ctx.norm()
     D = ctx.diag_f
     Dinv = 1.0 / D
+    ms = _S_preconditioner(ctx, cfg)  # built once (outside the Krylov body)
 
     if variant == "unsteady":
 
         def vmult(src: Blocks) -> Blocks:
             du = mf(src.u)  # ILU(F) substitute
             tmp_p = src.p + ctx.B(du)  # vmult_add (NSSolver.hpp:324)
-            dp = _solve_S(ctx, cfg, tmp_p, tol=cfg.asimple_s_rel_tol * nrm(tmp_p))
+            dp = _solve_S(
+                ctx, cfg, tmp_p, tol=cfg.asimple_s_rel_tol * nrm(tmp_p), M=ms
+            )
             du = du * D
             dp = dp / alpha
             du = du - ctx.Bt(dp)
@@ -621,7 +647,7 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
                     dot=dot,
                 )
             tmp_p = src.p - ctx.B(du)
-            dp = _solve_S(ctx, cfg, tmp_p, tol=rel_s * nrm(tmp_p))
+            dp = _solve_S(ctx, cfg, tmp_p, tol=rel_s * nrm(tmp_p), M=ms)
             dp = dp * alpha
             du = du - Dinv * ctx.Bt(dp)
             return Blocks(u=du, p=dp)
