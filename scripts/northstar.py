@@ -176,6 +176,7 @@ def _precond_cfg(args):
 def run_stationary(args):
     setup_jax()
     from navier_stokes_solver_tpu.api import NSSolverStationary, SolverOptions
+    from navier_stokes_solver_tpu.api.base import PRECONDITIONER_NAMES
 
     mx, my = (int(v) for v in args.mesh.split(","))
     opts = SolverOptions(
@@ -183,7 +184,7 @@ def run_stationary(args):
         Re=100.0,
         solver_type=1,
         tolerance=args.tol,
-        preconditioner_type=2,  # aSIMPLE (BASELINE config 2)
+        preconditioner_type=args.prec,  # 2 = aSIMPLE (BASELINE config 2)
         verbose=True,
         krylov_basis=max(args.basis, 60),
         precond_config=_precond_cfg(args),
@@ -197,13 +198,19 @@ def run_stationary(args):
     s.compute_drag_coeff()
     total_k = sum(h.get("krylov_iters", 0) for h in s.history)
     out = {
-        "metric": f"stationary_solve_wallclock_{mx}x{my}_Q3Q2_FGMRES_aSIMPLE_tol{args.tol:g}_Re100",
+        "metric": f"stationary_solve_wallclock_{mx}x{my}_Q3Q2_FGMRES_"
+        f"{PRECONDITIONER_NAMES[args.prec]}_tol{args.tol:g}_Re100",
         "value": round(elapsed, 3),
         "unit": "s",
         "extra": {
             "n_dofs": s.n_dofs,
             "total_krylov_iters": total_k,
             "drag_coeff": s.drag_coeff,
+            "per_solve_iters": [h.get("krylov_iters", 0) for h in s.history],
+            "basis": max(args.basis, 60),
+            "ir": args.ir,
+            "tri_stokes": args.tri_stokes,
+            "phase_timings": s.timer.summary(),
         },
     }
     print(json.dumps(out))
@@ -230,6 +237,9 @@ def main(argv=None):
     ap.add_argument("--lp-cycles", type=int, default=None,
                     help="fixed Lp V-cycles per Schur leg instead of the "
                     "nested Lp solve (PrecondConfig.cc_lp_cycles)")
+    ap.add_argument("--prec", type=int, default=2,
+                    help="stationary preconditioner id (2 = aSIMPLE, the "
+                    "literal BASELINE config-2 pairing; 1 = blockTriangular)")
     ap.add_argument("--tri-stokes", type=float, default=None,
                     help="Stokes-regime-only blockTriangular/aSIMPLE inner "
                     "relative tolerance override (h-flat Stokes outer "
