@@ -117,7 +117,10 @@ class PrecondConfig:
     # approximate Lp^-1, so 1-2 cycles usually hold the outer count while
     # removing the nested solve entirely -- the Lp leg was ~5x the
     # mass-only per-iteration cost at the 300x100 north-star config
-    # (docs/PERF.md).  None = nested FGMRES to ``cc_lp_rel``.
+    # (docs/PERF.md).  None = nested FGMRES to ``cc_lp_rel``.  Ignored
+    # (nested solve kept) on backends whose Lp preconditioner is point
+    # Jacobi (-M simplex): N Jacobi sweeps scaled by 1/dt poison the
+    # Schur leg (measured 25-30 -> 500-2000 outers/solve).
     cc_lp_cycles: int | None = None
     # Inner-solve tolerance overrides for blockTriangular (None = the
     # reference's values: velocity rel 1e-4 unsteady / 1e-2 stationary,
@@ -313,11 +316,18 @@ def _use_cahouet(ctx: LinearContext, cfg: PrecondConfig) -> bool:
     return _schur_mode(ctx, cfg) == "cahouet"
 
 
+def _lp_has_vcycle(ctx: LinearContext) -> bool:
+    """True when the MG chain carries pressure transfers, i.e. the Lp leg
+    is backed by a real V-cycle rather than a point-Jacobi stand-in."""
+    disc = ctx.disc
+    return getattr(disc, "mg", None) is not None and disc.mg.Ppx is not None
+
+
 def _lp_preconditioner(ctx: LinearContext, cfg: PrecondConfig):
     """V-cycle on the pressure Laplacian when the MG chain carries pressure
     transfers, Jacobi otherwise.  ``ctx`` is already in the vmult dtype."""
     disc = ctx.disc
-    if getattr(disc, "mg", None) is not None and disc.mg.Ppx is not None:
+    if _lp_has_vcycle(ctx):
         from navier_stokes_solver_tpu.precond.mg import make_lp_vcycle
 
         return make_lp_vcycle(disc)
@@ -353,6 +363,14 @@ def _make_p_solver(ctx: LinearContext, cfg: PrecondConfig):
     nrm = ctx.norm()
     rel = getattr(cfg, "cc_lp_rel", 1e-2)
     cycles = getattr(cfg, "cc_lp_cycles", None)
+    # ``cc_lp_cycles`` replaces the nested Lp solve with N applications of
+    # the Lp *preconditioner* -- a near-free trade when that preconditioner
+    # is a V-cycle (docs/PERF.md), but catastrophic when it is point Jacobi
+    # (the -M simplex backend): one Jacobi sweep scaled by inv_dt makes the
+    # Schur leg worse than no leg at all (measured: 25-30 -> 500-2000
+    # outers/solve on the 60x40 Re-ramp).  Honor it only with a V-cycle.
+    if cycles is not None and not _lp_has_vcycle(ctx):
+        cycles = None
 
     if cycles is not None:
 
@@ -407,6 +425,24 @@ def _fixed_p_solver(ctx: LinearContext, cfg: PrecondConfig):
     if mode == "mass":
         return base
     mlp = _lp_preconditioner(ctx, cfg)
+    if not _lp_has_vcycle(ctx):
+        # No pressure V-cycle (the -M simplex backend): a single Jacobi
+        # application is far too weak for the inv_dt-scaled Lp leg (see
+        # _make_p_solver).  Chebyshev-Jacobi sweeps are the best fixed-cost
+        # stand-in available inside one XLA program.
+        from navier_stokes_solver_tpu.precond.mg import (
+            _chebyshev, _estimate_lmax,
+        )
+
+        dinv_lp = 1.0 / ctx.ops.diag_Lp(ctx.disc)
+        zp = _zeros_p(ctx)
+        lmax_lp = _estimate_lmax(ctx.Lp, dinv_lp, zp.shape, zp.dtype, iters=5)
+
+        def mlp(rhs):  # noqa: F811 -- intentional upgrade of the Jacobi leg
+            return _chebyshev(
+                ctx.Lp, dinv_lp, lmax_lp, rhs, jnp.zeros_like(rhs),
+                max(cfg.fixed_mp_degree, 6), lmin_ratio=30.0,
+            )
     if mode == "cahouet":
 
         def solve(rhs):

@@ -91,15 +91,16 @@ def run_unsteady(args):
     )
     sol0 = Blocks(u=disc.zeros_u(), p=disc.zeros_p())
     first = True
-    for _ in range(40):
+    for _ in range(40 * max(1, 60 // args.init_maxiter)):
         sol0, info = kernels.solve_kernel(
             disc, nu, 1.0 / dt, initial_state(disc).solution, rhs, sol0,
             amp, args.tol, stokes=True, solver_type=1, prec_type=1,
-            variant="unsteady", maxiter=60, project_x0=first, basis=60,
+            variant="unsteady", maxiter=args.init_maxiter,
+            project_x0=first, basis=args.init_basis,
             precond_cfg=cfg,
         )
         first = False
-        if bool(info.converged) or int(info.iters) < 60:
+        if bool(info.converged) or int(info.iters) < args.init_maxiter:
             break
     jax.block_until_ready(sol0.u)
     t_init = time.perf_counter() - t0
@@ -230,6 +231,12 @@ def main(argv=None):
     ap.add_argument("--krylov-maxiter", type=int, default=100)
     ap.add_argument("--newton-max", type=int, default=3)
     ap.add_argument("--basis", type=int, default=30)
+    ap.add_argument("--init-maxiter", type=int, default=60,
+                    help="Krylov iterations per device call in the "
+                    "host-chunked Stokes init (lower for big meshes so "
+                    "one call stays within the TPU per-call budget)")
+    ap.add_argument("--init-basis", type=int, default=60,
+                    help="restart basis for the Stokes init solve")
     ap.add_argument("--ir", nargs="?", const="float32", default=None,
                     choices=("float32", "mixed"),
                     help="GMRES-IR reduced-precision outer cycles")

@@ -242,6 +242,38 @@ def test_simplex_upgraded_schur_matches_mass_dynamics(schur):
     np.testing.assert_allclose(b.drag_force, a.drag_force, rtol=1e-6)
 
 
+def test_simplex_cahouet_ignores_lp_cycles():
+    """``cc_lp_cycles`` must be a no-op on the -M backend: its Lp
+    preconditioner is point Jacobi (no pressure V-cycle), and N Jacobi
+    sweeps scaled by 1/dt poison the Schur leg (measured on the 60x40
+    Re-ramp: 25-30 -> 500-2000 outers/solve).  The gate in
+    precond.blocks._make_p_solver keeps the nested FGMRES Lp solve, so
+    iteration counts and dynamics match the cycles=None run exactly."""
+    from navier_stokes_solver_tpu.api import NSSolver, SolverOptions
+    from navier_stokes_solver_tpu.precond import PrecondConfig
+
+    common = dict(mesh_size=(16, 8), Re=5.0, time_span=0.02, time_step=0.01,
+                  solver_type=1, tolerance=1e-10, preconditioner_type=1,
+                  verbose=False, multigrid=False, read_mesh_from_file=True)
+
+    runs = {}
+    for key, cycles in (("nested", None), ("cycles", 1)):
+        s = NSSolver(SolverOptions(
+            precond_config=PrecondConfig(schur_mode="cahouet",
+                                         cc_lp_cycles=cycles),
+            **common,
+        ))
+        s.setup()
+        s.solve()
+        iters = [h["krylov_iters"] for h in s.history
+                 if h.get("phase") in ("stokes", "ns")]
+        runs[key] = (iters, s.drag_force)
+
+    assert runs["cycles"][0] == runs["nested"][0]
+    np.testing.assert_allclose(runs["cycles"][1], runs["nested"][1],
+                               rtol=1e-12)
+
+
 def test_p_multigrid_transfers_and_strength():
     """P2->P1 p-multigrid (unstructured/pmg.py): transfers are exact
     transposes, and the two-level cycle beats point Jacobi by a wide
