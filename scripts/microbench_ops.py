@@ -95,7 +95,11 @@ def main(argv=None):
     )
     res["matvec_f32_ms"] = timeit(mv32, x32) * 1e3
 
-    vc = make_mg_vcycle(disc, nu, 0.0, None, stokes=True)
+    # production config: the V-cycle always runs in f32 inside the f64
+    # outer (PrecondConfig.mg_dtype default); the f64 variant would also
+    # hit TPU's unimplemented f64 LuDecomposition in the GMRES smoother.
+    vc = make_mg_vcycle(disc, nu, 0.0, None, stokes=True,
+                        dtype=jnp.float32)
     vc_j = jax.jit(vc)
     res["mg_vcycle_f32_ms"] = timeit(vc_j, xu.astype(jnp.float32)) * 1e3
 
