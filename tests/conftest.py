@@ -55,3 +55,34 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import navier_stokes_solver_tpu  # noqa: E402,F401  (enables x64)
+
+import pytest  # noqa: E402
+
+# XLA:CPU AOT cache poisoning of multi-device collective programs
+# (diagnosed round 3): executables containing in-loop ppermute/psum that
+# are *loaded* from the persistent compilation cache fail nondeterministically
+# -- either a hard abort ("rendezvous.h:315 Check failed: id < num_threads
+# (2 vs. 2)" on the collective-permute rendezvous) or, worse, silent field
+# corruption (~1e-2 errors in converged solutions).  Freshly *compiled*
+# runs of the identical program pass 6/6; cache-loaded runs flake.  The
+# loader also warns that compile-time machine features (+prefer-no-scatter,
+# +prefer-no-gather) don't match the host.  Single-device entries have
+# never shown the problem, so the cache stays on for everything else and
+# multi-device test modules compile cold each session.
+_MULTIDEVICE_MODULES = frozenset(
+    {"test_dist", "test_dist_simplex", "test_ensemble"}
+)
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache_for_multidevice(request):
+    mod = getattr(request.module, "__name__", "")
+    if mod.rpartition(".")[2] in _MULTIDEVICE_MODULES:
+        old = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)
+    else:
+        yield
