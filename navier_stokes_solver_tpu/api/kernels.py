@@ -60,7 +60,7 @@ def assemble_kernel(disc, nu, inv_dt, st: Blocks, u_old, inlet_amp, *, stokes):
     jax.jit,
     static_argnames=(
         "stokes", "solver_type", "prec_type", "variant", "maxiter",
-        "project_x0", "precond_cfg", "basis",
+        "precond_cfg", "basis",
     ),
 )
 def solve_kernel(
@@ -89,7 +89,11 @@ def solve_kernel(
     set to the boundary values, interior entries warm-start from the
     previous solve.  ``project_x0=False`` skips that projection -- used by
     continuation chunks of one logical solve, whose iterate must pass
-    through untouched.
+    through untouched.  The flag is *traced* (a device select, not part of
+    the jit cache key): the first-chunk and continuation-chunk dispatches
+    of a tangent solve share one compiled program, halving the number of
+    large executables the remote TPU worker must load per run (each load
+    measured ~10-18 s at the bench size; docs/PERF.md).
     """
     ops = _ops_for(disc)
     linq = None if stokes else ops.eval_state(disc, st)
@@ -103,18 +107,19 @@ def solve_kernel(
     def A(x: Blocks) -> Blocks:
         return ops.apply_jacobian(disc, nu, inv_dt, linq, dF, x, stokes=stokes)
 
-    if project_x0:
-        g = ops.dirichlet_values(disc, inlet_amp)
-        x0u = jnp.where(disc.u_dirichlet, g, delta_prev.u)
-        u_active = getattr(disc, "u_active", None)
-        if u_active is not None:
-            x0u = jnp.where(u_active, x0u, 0.0)
-            x0p = jnp.where(disc.p_active, delta_prev.p, 0.0)
-        else:
-            x0p = delta_prev.p
-        x0 = Blocks(u=x0u, p=x0p)
+    proj = jnp.asarray(project_x0, dtype=bool)
+    g = ops.dirichlet_values(disc, inlet_amp)
+    x0u = jnp.where(disc.u_dirichlet, g, delta_prev.u)
+    u_active = getattr(disc, "u_active", None)
+    if u_active is not None:
+        x0u = jnp.where(u_active, x0u, 0.0)
+        x0p = jnp.where(disc.p_active, delta_prev.p, 0.0)
     else:
-        x0 = delta_prev
+        x0p = delta_prev.p
+    x0 = Blocks(
+        u=jnp.where(proj, x0u, delta_prev.u),
+        p=jnp.where(proj, x0p, delta_prev.p),
+    )
 
     kw = {} if solver_type == 2 else {"basis": basis}  # bicgstab: no basis
     if solver_type != 2:

@@ -123,11 +123,14 @@ class DistKernels:
     ):
         key = (
             "solve", stokes, solver_type, prec_type, variant, maxiter,
-            project_x0, precond_cfg, basis,
+            precond_cfg, basis,
         )
         if key not in self._jit_cache:
 
-            def local(sdisc_sh, st_sh, rhs_sh, delta_sh, nu, inv_dt, inlet_amp, tol):
+            def local(
+                sdisc_sh, st_sh, rhs_sh, delta_sh,
+                nu, inv_dt, inlet_amp, tol, proj,
+            ):
                 disc = _tile(sdisc_sh)
                 st = _tile(st_sh)
                 rhs = _tile(rhs_sh)
@@ -148,14 +151,17 @@ class DistKernels:
                         disc, nu, inv_dt, linq, dF, x, stokes=stokes
                     )
 
-                if project_x0:
-                    g = matfree.dirichlet_values(disc, inlet_amp)
-                    x0u = jnp.where(disc.u_dirichlet, g, delta_prev.u)
-                    x0u = jnp.where(disc.u_active, x0u, 0.0)
-                    x0p = jnp.where(disc.p_active, delta_prev.p, 0.0)
-                    x0 = Blocks(u=x0u, p=x0p)
-                else:
-                    x0 = delta_prev
+                # traced first-chunk flag: one compiled program serves the
+                # projected first chunk and the continuation chunks (see
+                # api.kernels.solve_kernel)
+                g = matfree.dirichlet_values(disc, inlet_amp)
+                x0u = jnp.where(disc.u_dirichlet, g, delta_prev.u)
+                x0u = jnp.where(disc.u_active, x0u, 0.0)
+                x0p = jnp.where(disc.p_active, delta_prev.p, 0.0)
+                x0 = Blocks(
+                    u=jnp.where(proj, x0u, delta_prev.u),
+                    p=jnp.where(proj, x0p, delta_prev.p),
+                )
 
                 kw = {} if solver_type == 2 else {"basis": basis}
                 if solver_type != 2:
@@ -169,10 +175,11 @@ class DistKernels:
                 return _stack(delta), info
 
             self._jit_cache[key] = jax.jit(
-                self._smap(local, 4, 4, (self.spec, P()))
+                self._smap(local, 4, 5, (self.spec, P()))
             )
         return self._jit_cache[key](
-            sdisc, st, rhs, delta_prev, nu, inv_dt, inlet_amp, tol
+            sdisc, st, rhs, delta_prev, nu, inv_dt, inlet_amp, tol,
+            jnp.asarray(project_x0, dtype=bool),
         )
 
     def update_solution(self, evaluation_point, delta, alpha):
