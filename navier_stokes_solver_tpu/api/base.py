@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import dataclasses
+import os
 import time as _time
 from typing import Any
 
@@ -331,8 +332,40 @@ class NSSolverBase:
     # BiCGStab (solver_type 2) each chunk resets the shadow residual
     # rbar = r, which changes the iteration *trajectory* (not the fixed
     # point) vs one continuous run -- a documented deviation kept for the
-    # per-call execution budget.  Host overhead is one dispatch per chunk.
+    # per-call execution budget.  Host overhead is one dispatch per chunk;
+    # since ``maxiter`` is traced (api/kernels.py::solve_kernel), any chunk
+    # length reuses the same compiled program, so this is a pure
+    # dispatch-overhead / per-call-budget tradeoff.
+    #
+    # The chunk length is ADAPTIVE: the per-iteration wall measured on each
+    # chunk sizes the next one to fill KRYLOV_CALL_BUDGET_S seconds of
+    # device time (never exceeding KRYLOV_CHUNK_MAX iterations, never below
+    # one restart cycle).  On the remote axon worker each dispatch costs
+    # seconds (queueing + executable load), so small fixed chunks dominated
+    # the bench wall: 100x70 warm bench 111.3 s at fixed chunk 60 vs
+    # 45.7 s at 240 (identical programs; docs/PERF.md round 3).  At
+    # 300x100 an outer iteration costs ~1 s, so a fixed 240 would blow the
+    # few-minute per-call kill budget -- adaptivity reconciles the two.
+    # NSTPU_KRYLOV_CHUNK forces a fixed chunk length (A/Bs).
     KRYLOV_CHUNK: int = 30
+    KRYLOV_CHUNK_MAX: int = 960
+    KRYLOV_CALL_BUDGET_S: float = float(
+        os.environ.get("NSTPU_KRYLOV_CALL_BUDGET", "75")
+    )
+
+    _chunk_iter_wall_s: float | None = None  # EMA of per-iteration wall
+
+    def _adaptive_chunk_len(self, basis: int) -> int:
+        """Chunk length (a basis multiple) sized to KRYLOV_CALL_BUDGET_S
+        seconds of device time from the measured per-iteration wall; one
+        conservative restart cycle before any measurement exists."""
+        w = self._chunk_iter_wall_s
+        if w is None or w <= 0:
+            cycles = max(1, self.KRYLOV_CHUNK // basis)
+        else:
+            cycles = int(self.KRYLOV_CALL_BUDGET_S / (w * basis))
+            cycles = max(1, min(cycles, max(1, self.KRYLOV_CHUNK_MAX // basis)))
+        return basis * cycles
 
     def solve_system(self, stokes: bool, lifting: bool) -> int:
         """Tangent solve; prints and returns the Krylov iteration count
@@ -346,11 +379,16 @@ class NSSolverBase:
         # chunk = a multiple of the restart basis so chunking stays
         # mathematically identical to one long restarted solve
         basis = max(1, int(o.krylov_basis))
-        chunk_len = basis * max(1, self.KRYLOV_CHUNK // basis)
+        forced = os.environ.get("NSTPU_KRYLOV_CHUNK")
+        if forced:
+            chunk_len = basis * max(1, int(forced) // basis)
+        else:
+            chunk_len = self._adaptive_chunk_len(basis)
         cfg = o.precond_config
         prev_res = None
         while True:
             chunk = min(chunk_len, self.KRYLOV_MAXITER - total)
+            t_chunk = _time.perf_counter()
             self.delta, info = self.K.solve_kernel(
                 self.disc,
                 self.nu,
@@ -371,6 +409,14 @@ class NSSolverBase:
             )
             first = False
             it = int(info.iters)  # blocks until this chunk finishes
+            if not forced and it > 0:
+                # EMA of per-iteration wall (dispatch overhead amortizes
+                # into it); sizes the NEXT chunk.  A chunk that stopped
+                # early (convergence) still measures true per-iter cost.
+                w = (_time.perf_counter() - t_chunk) / it
+                e = self._chunk_iter_wall_s
+                self._chunk_iter_wall_s = w if e is None else 0.5 * (e + w)
+                chunk_len = self._adaptive_chunk_len(basis)
             total += it
             self.log(
                 f"   [chunk] {total} iterations, residual "

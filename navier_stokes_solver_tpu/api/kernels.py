@@ -59,7 +59,7 @@ def assemble_kernel(disc, nu, inv_dt, st: Blocks, u_old, inlet_amp, *, stokes):
 @partial(
     jax.jit,
     static_argnames=(
-        "stokes", "solver_type", "prec_type", "variant", "maxiter",
+        "stokes", "solver_type", "prec_type", "variant",
         "precond_cfg", "basis",
     ),
 )
@@ -93,7 +93,10 @@ def solve_kernel(
     the jit cache key): the first-chunk and continuation-chunk dispatches
     of a tangent solve share one compiled program, halving the number of
     large executables the remote TPU worker must load per run (each load
-    measured ~10-18 s at the bench size; docs/PERF.md).
+    measured ~10-18 s at the bench size; docs/PERF.md).  ``maxiter`` is
+    traced too -- it only gates ``lax.while_loop`` conditions, so chunked
+    dispatches of any length (including the final partial chunk) reuse the
+    same executable.
     """
     ops = _ops_for(disc)
     linq = None if stokes else ops.eval_state(disc, st)

@@ -122,14 +122,14 @@ class DistKernels:
         basis=30,
     ):
         key = (
-            "solve", stokes, solver_type, prec_type, variant, maxiter,
+            "solve", stokes, solver_type, prec_type, variant,
             precond_cfg, basis,
         )
         if key not in self._jit_cache:
 
             def local(
                 sdisc_sh, st_sh, rhs_sh, delta_sh,
-                nu, inv_dt, inlet_amp, tol, proj,
+                nu, inv_dt, inlet_amp, tol, proj, maxiter,
             ):
                 disc = _tile(sdisc_sh)
                 st = _tile(st_sh)
@@ -175,11 +175,11 @@ class DistKernels:
                 return _stack(delta), info
 
             self._jit_cache[key] = jax.jit(
-                self._smap(local, 4, 5, (self.spec, P()))
+                self._smap(local, 4, 6, (self.spec, P()))
             )
         return self._jit_cache[key](
             sdisc, st, rhs, delta_prev, nu, inv_dt, inlet_amp, tol,
-            jnp.asarray(project_x0, dtype=bool),
+            jnp.asarray(project_x0, dtype=bool), jnp.asarray(maxiter),
         )
 
     def update_solution(self, evaluation_point, delta, alpha):
