@@ -151,3 +151,44 @@ def test_asimple_stokes_override_invariance():
     np.testing.assert_allclose(ub, ua, atol=1e-8)
     np.testing.assert_allclose(pb, pa, atol=1e-7)
     np.testing.assert_allclose(b.drag_force, a.drag_force, rtol=1e-6)
+
+
+def test_adaptive_chunk_len_sizing():
+    """Adaptive Krylov chunk sizing (api/base.py): one conservative
+    restart cycle before any measurement; afterwards fills
+    KRYLOV_CALL_BUDGET_S of device time, clamped to [basis,
+    KRYLOV_CHUNK_MAX] and always a basis multiple."""
+    s = NSSolverStationary(SolverOptions(**BASE))
+    basis = 30
+    # no measurement yet -> one KRYLOV_CHUNK-derived cycle
+    assert s._adaptive_chunk_len(basis) == basis * max(
+        1, s.KRYLOV_CHUNK // basis
+    )
+    # 0.1 s/iter, 75 s budget -> 750 iters -> 25 cycles of 30
+    s._chunk_iter_wall_s = 0.1
+    assert s._adaptive_chunk_len(basis) == 750
+    # very slow iterations -> floor of one cycle (per-call kill budget)
+    s._chunk_iter_wall_s = 10.0
+    assert s._adaptive_chunk_len(basis) == basis
+    # very fast iterations -> ceiling KRYLOV_CHUNK_MAX
+    s._chunk_iter_wall_s = 1e-6
+    cl = s._adaptive_chunk_len(basis)
+    assert cl <= s.KRYLOV_CHUNK_MAX and cl % basis == 0
+    # deep basis: never below one restart cycle even past the cap
+    s._chunk_iter_wall_s = 10.0
+    assert s._adaptive_chunk_len(2000) == 2000
+
+
+def test_forced_chunk_matches_adaptive_fields(monkeypatch):
+    """NSTPU_KRYLOV_CHUNK-forced chunking and adaptive chunking must
+    produce identical fields: chunks are restart-aligned, so any chunk
+    schedule is the same restarted solve (test_chunked_fgmres_equals_
+    continuous is the kernel-level pin; this is the solver-level one)."""
+    monkeypatch.setenv("NSTPU_KRYLOV_CHUNK", "120")
+    a = _solve()
+    monkeypatch.setenv("NSTPU_KRYLOV_CHUNK", "30")
+    b = _solve()
+    ua, pa = a.fields()
+    ub, pb = b.fields()
+    np.testing.assert_array_equal(ub, ua)
+    np.testing.assert_array_equal(pb, pa)
