@@ -88,17 +88,23 @@ def main():
     warm = jnp.ones((256, 256))
     (warm @ warm).block_until_ready()
 
-    # Best-of-2: run the full solve twice (fresh solver state each pass)
-    # and report the faster wall.  The first pass still pays per-process
-    # executable loads (seconds per program on the remote worker) and any
-    # residual session plumbing; the second pass is the fully-warm regime
-    # every same-day A/B in docs/PERF.md is quoted in.  Both walls are
-    # recorded in ``extra.run_walls_s``.
-    attempts = 0
+    # Median-of-N: run the full solve N times (fresh solver state each
+    # pass) and report the MEDIAN wall.  The first pass still pays
+    # per-process executable loads (seconds per program on the remote
+    # worker) and any residual session plumbing; later passes are the
+    # fully-warm regime docs/PERF.md A/Bs are quoted in.  The median (not
+    # the min) is the headline so a single fast tail can't stand in for a
+    # representative wall; every pass is recorded in ``extra.run_walls_s``
+    # and the min is reported separately as ``best_wall_s``.
+    n_passes = int(os.environ.get("NSTPU_BENCH_PASSES", "3"))
+    failures = 0
     runs = []
     solver = None
-    while len(runs) < 2:
-        attempts += 1
+    while len(runs) < n_passes:
+        # only the last pass's solver is kept (for lift/drag below);
+        # dropping the previous one releases its device buffers so pass
+        # k+1 never times against pass k's resident MG chain
+        solver = None
         s = NSSolverStationary(opts)
         s.setup()
         t0 = time.perf_counter()
@@ -106,14 +112,28 @@ def main():
             s.solve_newton()
             wall = time.perf_counter() - t0
             runs.append(wall)
-            if solver is None or wall <= min(runs):
-                solver = s
+            solver = s
         except jax.errors.JaxRuntimeError as e:
-            if attempts >= 3:
+            failures += 1
+            if failures >= 3:
+                if runs:
+                    print(
+                        f"TPU runtime error ({e}); reporting the "
+                        f"{len(runs)} completed pass(es)",
+                        file=sys.stderr,
+                    )
+                    solver = s if s.history else None
+                    break
                 raise
             print(f"TPU runtime error ({e}); retrying", file=sys.stderr)
             time.sleep(420)
-    elapsed = min(runs)
+    if solver is None or not solver.history:
+        # the final pass died mid-solve: redo one solve for the
+        # lift/drag + history fields (walls above are already recorded)
+        solver = NSSolverStationary(opts)
+        solver.setup()
+        solver.solve_newton()
+    elapsed = sorted(runs)[len(runs) // 2]  # median (upper on even N)
 
     solver.compute_lift_drag()
     solver.compute_drag_coeff()
@@ -137,6 +157,8 @@ def main():
             "lift_coeff": solver.lift_coeff,
             "phase_timings": solver.timer.summary(),
             "run_walls_s": [round(w, 3) for w in runs],
+            "best_wall_s": round(min(runs), 3),
+            "headline_is": f"median_of_{len(runs)}",
             "device": str(jax.devices()[0]),
             "dtype": str(solver.disc.dtype),
             "vs_baseline_1proc": round(5294.75 / elapsed, 3),  # FGMRES 1-proc
