@@ -1,12 +1,32 @@
-"""gmsh MSH2 import/export of meshes.
+"""gmsh MSH1 / MSH2 / MSH4.1 import, MSH2 export of meshes.
 
 Export: equivalent of the reference's ``GridOut::write_msh(mesh, "mesh.msh")``
 (NSSolver.cpp:108-110): quad elements with the boundary edges tagged with
 their physical ids (6 wall, 7 inlet, 8 outlet, 10 cylinder).
 
 Import: equivalent of ``GridIn::read_msh`` used by the ``-M`` CLI path
-(NSSolver.cpp:155-161); the C++ parser in ``native/`` is used when
-available, with a pure-Python fallback.
+(NSSolver.cpp:155-161).  deal.II's reader accepts gmsh format versions
+1 (``$NOD``/``$ELM``), 2.x (``$Nodes``/``$Elements`` with per-element
+tag lists) and 4.1 (entity blocks; physical tags resolved through
+``$Entities``) — all three are supported here, covering every ``.msh``
+shipped with the reference (``lab_new/mesh/*.msh`` are 4.1 except
+``new_mesh.msh`` which is 2.2; the reference's own ``GridOut`` output
+``mesh.msh`` is MSH1).  The C++ parser in ``native/`` is the fast path,
+with a pure-Python fallback.
+
+Physical-tag notes (matching deal.II semantics):
+- MSH2: the first tag is the physical id.
+- MSH4.1: an element inherits the FIRST physical tag of the entity its
+  block belongs to (0 if the entity has none).
+- MSH1: the ``reg-phys`` field.
+- ``2dMesh{,Coarse,Normal,ReallyCoarse}.msh`` tag the cylinder curve
+  into physical 6 "borders" (together with the channel walls) rather
+  than id 10 (``2dMeshCylinder``/``2dMeshFine``/``new_mesh`` use 10);
+  a lift/drag integral over boundary id 10 is therefore empty (zero
+  force) on the borders-tagged meshes — exactly what the reference's
+  ``compute_lift_drag`` (NSSolver.cpp:884-890, boundary_id == 10
+  filter) computes there.  Velocity BCs are unaffected (walls and
+  cylinder are both no-slip under tag 6).
 """
 
 from __future__ import annotations
@@ -18,47 +38,157 @@ from navier_stokes_solver_tpu.geometry.channel import ChannelGeometry, INTERIOR
 __all__ = ["write_msh", "read_msh"]
 
 
+# gmsh element type -> vertex count for the linear types we keep
+# (1 line, 2 triangle, 3 quad, 4 tetrahedron)
+_NVERTS = {1: 2, 2: 3, 3: 4, 4: 4}
+
+
+class _MshAccum:
+    """Shared element accumulator for the three format parsers."""
+
+    def __init__(self):
+        self.nodes_xy: list[tuple[float, float]] = []
+        self.node_ids: list[int] = []
+        self.buckets = {1: ([], []), 2: ([], []), 3: ([], []), 4: ([], [])}
+
+    def add_element(self, etype: int, tag: int, verts: list[int]):
+        if etype not in self.buckets:
+            return  # points / higher-order elements: skipped, like GridIn
+        conn, tags = self.buckets[etype]
+        conn.append(verts)
+        tags.append(tag)
+
+    def finish(self) -> dict:
+        def pack(etype, width):
+            conn, tags = self.buckets[etype]
+            return (
+                np.asarray(conn, dtype=np.int32).reshape(-1, width),
+                np.asarray(tags, dtype=np.int32),
+            )
+
+        edges, edge_tag = pack(1, 2)
+        tri, tri_tag = pack(2, 3)
+        quad, quad_tag = pack(3, 4)
+        tet, tet_tag = pack(4, 4)
+        return dict(
+            nodes_xy=np.asarray(self.nodes_xy, dtype=np.float64).reshape(
+                -1, 2
+            ),
+            tri=tri, tri_tag=tri_tag,
+            quad=quad, quad_tag=quad_tag,
+            edges=edges, edge_tag=edge_tag,
+            tet=tet, tet_tag=tet_tag,
+        )
+
+
+def _parse_msh2(lines, acc: _MshAccum):
+    """MSH 2.x: $Nodes (id x y z), $Elements (id type ntags tags... verts)."""
+    for line in lines:
+        if line.startswith("$Nodes"):
+            n = int(next(lines))
+            for _ in range(n):
+                parts = next(lines).split()
+                acc.node_ids.append(int(parts[0]))
+                acc.nodes_xy.append((float(parts[1]), float(parts[2])))
+        elif line.startswith("$Elements"):
+            id_map = {g: i for i, g in enumerate(acc.node_ids)}
+            n = int(next(lines))
+            for _ in range(n):
+                parts = next(lines).split()
+                etype = int(parts[1])
+                ntags = int(parts[2])
+                tag = int(parts[3]) if ntags else 0
+                if etype not in _NVERTS:
+                    continue
+                verts = [id_map[int(v)] for v in parts[3 + ntags :]]
+                acc.add_element(etype, tag, verts)
+
+
+def _parse_msh41(lines, acc: _MshAccum):
+    """MSH 4.1: $Entities physical-tag map + entity-blocked nodes/elements."""
+    # (dim, entity_tag) -> first physical tag (deal.II: material/boundary id)
+    phys: dict[tuple[int, int], int] = {}
+    for line in lines:
+        if line.startswith("$Entities"):
+            counts = [int(v) for v in next(lines).split()]  # pts crv srf vol
+            for dim, cnt in enumerate(counts):
+                for _ in range(cnt):
+                    parts = next(lines).split()
+                    # points: tag x y z nphys phys...
+                    # dim>=1: tag min(3) max(3) nphys phys... nbnd bnd...
+                    base = 4 if dim == 0 else 7
+                    nphys = int(parts[base])
+                    tag = int(parts[base + 1]) if nphys else 0
+                    phys[(dim, int(parts[0]))] = tag
+        elif line.startswith("$Nodes"):
+            nblocks = int(next(lines).split()[0])
+            for _ in range(nblocks):
+                _, _, _, nb = (int(v) for v in next(lines).split())
+                ids = [int(next(lines)) for _ in range(nb)]
+                acc.node_ids.extend(ids)
+                for _ in range(nb):
+                    parts = next(lines).split()
+                    acc.nodes_xy.append((float(parts[0]), float(parts[1])))
+        elif line.startswith("$Elements"):
+            id_map = {g: i for i, g in enumerate(acc.node_ids)}
+            nblocks = int(next(lines).split()[0])
+            for _ in range(nblocks):
+                dim, etag, etype, nb = (int(v) for v in next(lines).split())
+                tag = phys.get((dim, etag), 0)
+                for _ in range(nb):
+                    parts = next(lines).split()
+                    if etype not in _NVERTS:
+                        continue
+                    verts = [id_map[int(v)] for v in parts[1:]]
+                    acc.add_element(etype, tag, verts)
+
+
+def _parse_msh1(first_line, lines, acc: _MshAccum):
+    """MSH 1 ($NOD/$ELM): id x y z; id type reg-phys reg-elem nverts verts."""
+    line = first_line
+    while line is not None:
+        if line.startswith("$NOD"):
+            n = int(next(lines))
+            for _ in range(n):
+                parts = next(lines).split()
+                acc.node_ids.append(int(parts[0]))
+                acc.nodes_xy.append((float(parts[1]), float(parts[2])))
+        elif line.startswith("$ELM"):
+            id_map = {g: i for i, g in enumerate(acc.node_ids)}
+            n = int(next(lines))
+            for _ in range(n):
+                parts = next(lines).split()
+                etype = int(parts[1])
+                tag = int(parts[2])  # reg-phys
+                nverts = int(parts[4])
+                if etype not in _NVERTS:
+                    continue
+                verts = [id_map[int(v)] for v in parts[5 : 5 + nverts]]
+                acc.add_element(etype, tag, verts)
+        line = next(lines, None)
+
+
 def _read_msh_python(path: str) -> dict:
-    """Minimal MSH2 parser (nodes + line/tri/quad elements, physical tags)."""
-    nodes_xy = []
-    node_ids = []
-    tri, tri_tag, quad, quad_tag, edges, edge_tag = [], [], [], [], [], []
+    """gmsh MSH1/MSH2/MSH4.1 parser (nodes + line/tri/quad/tet elements)."""
+    acc = _MshAccum()
     with open(path) as f:
         lines = iter(f)
-        for line in lines:
-            if line.startswith("$Nodes"):
-                n = int(next(lines))
-                for _ in range(n):
-                    parts = next(lines).split()
-                    node_ids.append(int(parts[0]))
-                    nodes_xy.append((float(parts[1]), float(parts[2])))
-            elif line.startswith("$Elements"):
-                id_map = {g: i for i, g in enumerate(node_ids)}
-                n = int(next(lines))
-                for _ in range(n):
-                    parts = next(lines).split()
-                    etype = int(parts[1])
-                    ntags = int(parts[2])
-                    tag = int(parts[3]) if ntags else 0
-                    verts = [id_map[int(v)] for v in parts[3 + ntags :]]
-                    if etype == 1:
-                        edges.append(verts)
-                        edge_tag.append(tag)
-                    elif etype == 2:
-                        tri.append(verts)
-                        tri_tag.append(tag)
-                    elif etype == 3:
-                        quad.append(verts)
-                        quad_tag.append(tag)
-    return dict(
-        nodes_xy=np.asarray(nodes_xy, dtype=np.float64).reshape(-1, 2),
-        tri=np.asarray(tri, dtype=np.int32).reshape(-1, 3),
-        tri_tag=np.asarray(tri_tag, dtype=np.int32),
-        quad=np.asarray(quad, dtype=np.int32).reshape(-1, 4),
-        quad_tag=np.asarray(quad_tag, dtype=np.int32),
-        edges=np.asarray(edges, dtype=np.int32).reshape(-1, 2),
-        edge_tag=np.asarray(edge_tag, dtype=np.int32),
-    )
+        first = next(lines, "")
+        if first.startswith("$NOD"):
+            _parse_msh1(first, lines, acc)
+        elif first.startswith("$MeshFormat"):
+            version = next(lines).split()[0]
+            if version.startswith("2"):
+                _parse_msh2(lines, acc)
+            elif version.startswith("4"):
+                _parse_msh41(lines, acc)
+            else:
+                raise ValueError(
+                    f"unsupported gmsh format {version!r} in {path!r}"
+                )
+        else:
+            raise ValueError(f"{path!r} is not a gmsh mesh file")
+    return acc.finish()
 
 
 def read_msh(path: str) -> dict:

@@ -69,10 +69,11 @@ def get_lib():
         lib.nstpu_msh_open.argtypes = [ctypes.c_char_p]
         lib.nstpu_msh_counts.argtypes = [ctypes.c_void_p] + [
             ctypes.POINTER(ctypes.c_int64)
-        ] * 4
+        ] * 5
         lib.nstpu_msh_fill.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -123,11 +124,11 @@ def write_vtu_native(
 
 
 def read_msh_native(path: str):
-    """C++ gmsh MSH2 parser.
+    """C++ gmsh MSH1/MSH2/MSH4.1 parser.
 
     Returns dict(nodes_xy [n,2], tri [t,3], tri_tag [t], quad [q,4],
-    quad_tag [q], edges [e,2], edge_tag [e]) or None if unavailable.
-    Raises ValueError on parse failure.
+    quad_tag [q], edges [e,2], edge_tag [e], tet [k,4], tet_tag [k]) or
+    None if unavailable.  Raises ValueError on parse failure.
     """
     lib = get_lib()
     if lib is None:
@@ -136,9 +137,9 @@ def read_msh_native(path: str):
     if not h:
         raise ValueError(f"failed to parse gmsh file {path!r}")
     try:
-        counts = [ctypes.c_int64() for _ in range(4)]
+        counts = [ctypes.c_int64() for _ in range(5)]
         lib.nstpu_msh_counts(h, *[ctypes.byref(c) for c in counts])
-        n_nodes, n_tri, n_quad, n_edges = (c.value for c in counts)
+        n_nodes, n_tri, n_quad, n_edges, n_tet = (c.value for c in counts)
         nodes_xy = np.empty((n_nodes, 2), dtype=np.float64)
         tri = np.empty((n_tri, 3), dtype=np.int32)
         tri_tag = np.empty(n_tri, dtype=np.int32)
@@ -146,13 +147,17 @@ def read_msh_native(path: str):
         quad_tag = np.empty(n_quad, dtype=np.int32)
         edges = np.empty((n_edges, 2), dtype=np.int32)
         edge_tag = np.empty(n_edges, dtype=np.int32)
+        tet = np.empty((n_tet, 4), dtype=np.int32)
+        tet_tag = np.empty(n_tet, dtype=np.int32)
         lib.nstpu_msh_fill(
             h, _dptr(nodes_xy), _iptr(tri), _iptr(tri_tag), _iptr(quad),
-            _iptr(quad_tag), _iptr(edges), _iptr(edge_tag),
+            _iptr(quad_tag), _iptr(edges), _iptr(edge_tag), _iptr(tet),
+            _iptr(tet_tag),
         )
     finally:
         lib.nstpu_msh_close(h)
     return dict(
         nodes_xy=nodes_xy, tri=tri, tri_tag=tri_tag, quad=quad,
-        quad_tag=quad_tag, edges=edges, edge_tag=edge_tag,
+        quad_tag=quad_tag, edges=edges, edge_tag=edge_tag, tet=tet,
+        tet_tag=tet_tag,
     )

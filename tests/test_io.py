@@ -85,6 +85,105 @@ def test_msh_native_matches_python(tmp_path):
         np.testing.assert_array_equal(a[k], b[k])
 
 
+_REF_MESH_DIR = "/root/reference/lab_new/mesh"
+
+
+def test_msh41_and_msh1_parse():
+    """GridIn::read_msh accepts gmsh formats 1/2.x/4.1 (NSSolver.cpp:155-161);
+    every mesh shipped with the reference must parse (VERDICT r3 item 6)."""
+    if not os.path.isdir(_REF_MESH_DIR):
+        pytest.skip("reference meshes not mounted")
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(_REF_MESH_DIR, "*.msh")))
+    assert len(paths) >= 13
+    if os.path.exists("/root/reference/mesh.msh"):
+        paths.append("/root/reference/mesh.msh")  # MSH1 (GridOut output)
+    for path in paths:
+        data = read_msh(path)
+        n = data["nodes_xy"].shape[0]
+        assert n > 0
+        total = sum(
+            data[k].shape[0] for k in ("tri", "quad", "edges", "tet")
+        )
+        assert total > 0, path
+        for k in ("tri", "quad", "edges", "tet"):
+            if data[k].size:
+                assert 0 <= data[k].min() and data[k].max() < n, path
+    # format-specific spot checks
+    coarse = read_msh(os.path.join(_REF_MESH_DIR, "2dMeshCoarse.msh"))
+    assert coarse["tri"].shape[0] == 271 and coarse["nodes_xy"].shape[0] == 170
+    # physical tags resolved through $Entities: inlet 7 / outlet 8 / walls 6
+    assert {6, 7, 8} == set(coarse["edge_tag"].tolist())
+    fine = read_msh(os.path.join(_REF_MESH_DIR, "2dMeshFine.msh"))
+    new = read_msh(os.path.join(_REF_MESH_DIR, "new_mesh.msh"))
+    # 2dMeshFine.msh (4.1) is the same mesh new_mesh.msh (2.2) was
+    # generated from (generate_mesh.py) — same counts, same tag set
+    assert fine["tri"].shape[0] == new["tri"].shape[0] == 25619
+    assert set(fine["edge_tag"]) == set(new["edge_tag"]) == {6, 7, 8, 10}
+    cube = read_msh(os.path.join(_REF_MESH_DIR, "mesh-cube-5.msh"))
+    assert cube["tet"].shape[0] == 735  # 3D meshes parse (tets kept)
+
+
+def test_msh41_native_matches_python():
+    if not os.path.isdir(_REF_MESH_DIR):
+        pytest.skip("reference meshes not mounted")
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    for name in ("2dMeshCoarse.msh", "new_mesh.msh", "mesh-cube-5.msh"):
+        path = os.path.join(_REF_MESH_DIR, name)
+        a = read_msh(path)  # native fast path
+        b = _read_msh_python(path)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{name}:{k}")
+
+
+def test_msh1_parse(tmp_path):
+    """$NOD/$ELM (gmsh format 1) with reg-phys element tags."""
+    path = str(tmp_path / "m1.msh")
+    with open(path, "w") as f:
+        f.write(
+            "$NOD\n4\n1 0 0 0\n2 1 0 0\n3 1 1 0\n4 0 1 0\n$ENDNOD\n"
+            "$ELM\n3\n"
+            "1 2 5 1 3 1 2 3\n"   # tri, reg-phys 5
+            "2 2 5 1 3 1 3 4\n"
+            "3 1 7 2 2 1 2\n"     # boundary line, reg-phys 7
+            "$ENDELM\n"
+        )
+    data = read_msh(path)
+    assert data["tri"].shape == (2, 3)
+    assert data["tri_tag"].tolist() == [5, 5]
+    assert data["edges"].tolist() == [[0, 1]]
+    assert data["edge_tag"].tolist() == [7]
+
+
+def test_solve_on_reference_41_mesh():
+    """A small stationary solve runs end-to-end on the reference's
+    MSH4.1 2dMeshCoarse.msh through the -M simplex path."""
+    if not os.path.isdir(_REF_MESH_DIR):
+        pytest.skip("reference meshes not mounted")
+    from navier_stokes_solver_tpu.api import NSSolverStationary, SolverOptions
+
+    opts = SolverOptions(
+        read_mesh_from_file=True,
+        mesh_file_name=os.path.join(_REF_MESH_DIR, "2dMeshCoarse.msh"),
+        degree_velocity=2, degree_pressure=1,
+        Re=30.0, tolerance=1e-7, solver_type=1, preconditioner_type=1,
+        verbose=False,
+    )
+    s = NSSolverStationary(opts).setup()
+    s.solve_newton()
+    ns = [h for h in s.history if h["phase"] == "ns"]
+    assert ns and ns[-1]["residual"] < 1e-5  # Newton converged
+    u = np.asarray(s.solution.u)
+    assert np.isfinite(u).all() and np.abs(u).max() > 0.1
+    # the cylinder curve is tagged "borders"=6 on this mesh (no id 10):
+    # the boundary-id-10 lift/drag integral is empty, like the reference's
+    s.compute_lift_drag()
+    s.compute_drag_coeff()
+    assert s.drag_coeff == 0.0
+
+
 def test_native_vtu_used_when_available(tmp_path):
     if not native_available():
         pytest.skip("native toolchain unavailable")
