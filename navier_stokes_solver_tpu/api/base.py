@@ -64,31 +64,10 @@ class SolverOptions:
     # Domain decomposition (x_tiles, y_tiles): run every tangent solve
     # distributed over a jax device mesh inside shard_map -- the analog of
     # the reference's `mpiexec -n` rank count (run_sim_steady.sh:24).
-    # None = single device.  On the -M simplex backend only 1-D x-strips
-    # are supported and only the fused path (``solve_fused``) runs
-    # decomposed (dist/simplex.py).
+    # None = single device.  The -M simplex backend decomposes into 1-D
+    # x-strips (dist/simplex.py); host-driven and fused paths both run
+    # decomposed on either backend.
     dd: Any = None
-
-
-class _HostPathUnsupported(NotImplementedError, AttributeError):
-    """Raised for kernel lookups on a decomposed simplex disc.
-
-    Subclasses AttributeError so getattr/hasattr capability probes (and
-    copy/pickle protocol lookups) fail soft instead of propagating."""
-
-
-class _FusedOnlyKernels:
-    """Kernel-backend placeholder for decomposed simplex discs: the
-    host-driven solver paths have no shard_map wrapper on -M meshes, so
-    any kernel call fails loudly instead of tracing ppermute outside a
-    mesh context."""
-
-    def __getattr__(self, name):
-        raise _HostPathUnsupported(
-            "host-driven solves are not supported on a decomposed simplex "
-            "mesh; use solve_fused (the -M dd path runs the fused time "
-            "loop under shard_map)"
-        )
 
 
 class NSSolverBase:
@@ -239,8 +218,10 @@ class NSSolverBase:
 
     def _setup_dist_simplex(self, nodes, tri, bedges, btags):
         """Strip-decompose the simplex disc over the device mesh
-        (dist/simplex.py).  Only the fused time loop (``solve_fused``)
-        runs decomposed on -M meshes; the host-driven paths raise."""
+        (dist/simplex.py) and swap in the shard_map kernel backend, so
+        host-driven solves (solve_newton / solve) and the fused time loop
+        both run decomposed on -M meshes -- matching the reference's fully
+        rank-parallel -M path (NSSolver.cpp:144-209)."""
         o = self.options
         import jax
 
@@ -249,6 +230,7 @@ class NSSolverBase:
             device_put_dist,
             make_dd_mesh,
         )
+        from navier_stokes_solver_tpu.dist.kernels import DistKernels
 
         n_x, n_y = (o.dd, 1) if isinstance(o.dd, int) else tuple(o.dd)
         if n_y != 1:
@@ -269,7 +251,8 @@ class NSSolverBase:
         # fused dd runs keep the P2->P1 p-MG inners (p_mg flag copied from
         # the global disc)
         self.disc = device_put_dist(self._dd_simplex.disc, self.dist_mesh)
-        self.K = _FusedOnlyKernels()
+        self.K = DistKernels(self.disc, self.dist_mesh)
+        self.log(f"  Domain decomposition: {n_x} x-strips")
 
     def _setup_dist(self):
         """Decompose the structured disc over a device mesh and swap the

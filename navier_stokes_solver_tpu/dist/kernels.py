@@ -1,13 +1,17 @@
 """Sharded host-driven solver kernels (distributed stationary/unsteady path).
 
-The reference runs its *stationary* benchmark distributed at every rank
-count (NSSolverStationary.cpp:579-647 under MPI; performance_log.csv); here
-the same host-driven lifecycle (``NSSolverBase`` continuation / Newton /
-line search) drives tangent solves whose every numerical step runs inside
-one ``shard_map`` region over the device mesh: cell-local operators with
+The reference runs its benchmarks distributed at every rank count through
+the ordinary solver path (NSSolverStationary.cpp:579-647 under MPI,
+performance_log.csv; the ``-M`` unsteady run on 128 ranks,
+run_sim_unsteady.sh:21 with partitioning NSSolver.cpp:144-209); here the
+same host-driven lifecycle (``NSSolverBase`` continuation / Newton / line
+search) drives tangent solves whose every numerical step runs inside one
+``shard_map`` region over the device mesh: cell-local operators with
 ``ppermute`` seam exchanges, seam-weighted ``psum`` inner products, the
-decomposed geometric-MG preconditioner chain (see
-``dist.halo.decompose_disc``), and ``psum``-reduced lift/drag.
+decomposed preconditioner (geometric-MG chain on the structured lattice,
+``dist.halo.decompose_disc``; P2->P1 p-MG strips on the ``-M`` simplex
+backend, ``dist.simplex.decompose_simplex_disc``), and ``psum``-reduced
+lift/drag.
 
 ``DistKernels`` mirrors the ``api.kernels`` module surface, so the solver
 classes switch between single-chip and distributed execution by swapping
@@ -24,12 +28,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from navier_stokes_solver_tpu.krylov import bicgstab, fgmres, gmres
 from navier_stokes_solver_tpu.ops import Blocks, matfree
 from navier_stokes_solver_tpu.ops.disc import Disc
-from navier_stokes_solver_tpu.ops.matfree import make_dot
 from navier_stokes_solver_tpu.precond import (
     LinearContext,
     make_krylov_lo,
     make_preconditioner,
 )
+
+
+def _backend_ops(sdisc):
+    """Backend kernel module (mirrors api.kernels._ops_for)."""
+    if isinstance(sdisc, Disc):
+        return matfree
+    from navier_stokes_solver_tpu.unstructured import ops as simplex_ops
+
+    return simplex_ops
 
 try:  # JAX >= 0.6
     shard_map = jax.shard_map
@@ -52,7 +64,8 @@ def _stack(tree):
 class DistKernels:
     """Drop-in replacement for ``api.kernels`` over a decomposed Disc."""
 
-    def __init__(self, sdisc: Disc, mesh: Mesh):
+    def __init__(self, sdisc, mesh: Mesh):
+        self.ops = _backend_ops(sdisc)
         axes = tuple(
             a
             for a, n in (
@@ -81,18 +94,19 @@ class DistKernels:
     def assemble_kernel(self, sdisc, nu, inv_dt, st, u_old, inlet_amp, *, stokes):
         key = ("assemble", stokes)
         if key not in self._jit_cache:
+            ops = self.ops
 
             def local(sdisc_sh, st_sh, u_old_sh, nu, inv_dt, inlet_amp):
                 disc = _tile(sdisc_sh)
                 st = _tile(st_sh)
                 u_old = _tile(u_old_sh)
-                linq = None if stokes else matfree.eval_state(disc, st)
-                dF = matfree.diag_F(disc, nu, inv_dt, linq, stokes=stokes)
-                rhs = matfree.residual(
+                linq = None if stokes else ops.eval_state(disc, st)
+                dF = ops.diag_F(disc, nu, inv_dt, linq, stokes=stokes)
+                rhs = ops.residual(
                     disc, nu, inv_dt, st, u_old, dF,
                     stokes=stokes, inlet_amp=inlet_amp,
                 )
-                dot = make_dot(disc)
+                dot = ops.make_dot(disc)
                 rn = jnp.sqrt(dot(rhs, rhs))
                 return _stack(rhs), rn
 
@@ -126,6 +140,7 @@ class DistKernels:
             precond_cfg, basis,
         )
         if key not in self._jit_cache:
+            ops = self.ops
 
             def local(
                 sdisc_sh, st_sh, rhs_sh, delta_sh,
@@ -135,29 +150,33 @@ class DistKernels:
                 st = _tile(st_sh)
                 rhs = _tile(rhs_sh)
                 delta_prev = _tile(delta_sh)
-                linq = None if stokes else matfree.eval_state(disc, st)
-                dF = matfree.diag_F(disc, nu, inv_dt, linq, stokes=stokes)
+                linq = None if stokes else ops.eval_state(disc, st)
+                dF = ops.diag_F(disc, nu, inv_dt, linq, stokes=stokes)
                 ctx = LinearContext(
                     disc=disc, nu=nu, inv_dt=inv_dt, stokes=stokes,
                     linq=linq, diag_f=dF,
-                    state_u=None if stokes else st.u,
+                    state_u=None if stokes else st.u, ops=ops,
                 )
                 M = make_preconditioner(
                     prec_type, ctx, variant=variant, cfg=precond_cfg
                 )
 
                 def A(x):
-                    return matfree.apply_jacobian(
+                    return ops.apply_jacobian(
                         disc, nu, inv_dt, linq, dF, x, stokes=stokes
                     )
 
                 # traced first-chunk flag: one compiled program serves the
                 # projected first chunk and the continuation chunks (see
                 # api.kernels.solve_kernel)
-                g = matfree.dirichlet_values(disc, inlet_amp)
+                g = ops.dirichlet_values(disc, inlet_amp)
                 x0u = jnp.where(disc.u_dirichlet, g, delta_prev.u)
-                x0u = jnp.where(disc.u_active, x0u, 0.0)
-                x0p = jnp.where(disc.p_active, delta_prev.p, 0.0)
+                u_active = getattr(disc, "u_active", None)
+                if u_active is not None:
+                    x0u = jnp.where(u_active, x0u, 0.0)
+                    x0p = jnp.where(disc.p_active, delta_prev.p, 0.0)
+                else:  # simplex backend: every kept node is active
+                    x0p = delta_prev.p
                 x0 = Blocks(
                     u=jnp.where(proj, x0u, delta_prev.u),
                     p=jnp.where(proj, x0p, delta_prev.p),
@@ -170,7 +189,7 @@ class DistKernels:
                     )
                 delta, info = _SOLVERS[solver_type](
                     A, rhs, x0, tol=tol, maxiter=maxiter, M=M,
-                    dot=make_dot(disc), **kw
+                    dot=ops.make_dot(disc), **kw
                 )
                 return _stack(delta), info
 
@@ -191,11 +210,12 @@ class DistKernels:
     def lift_drag_kernel(self, sdisc, nu, st):
         key = ("lift_drag",)
         if key not in self._jit_cache:
+            ops = self.ops
 
             def local(sdisc_sh, st_sh, nu):
                 disc = _tile(sdisc_sh)
                 st = _tile(st_sh)
-                return matfree.lift_drag_forces(disc, nu, st)
+                return ops.lift_drag_forces(disc, nu, st)
 
             self._jit_cache[key] = jax.jit(self._smap(local, 2, 1, (P(), P())))
         return self._jit_cache[key](sdisc, st, nu)

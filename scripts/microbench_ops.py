@@ -39,6 +39,8 @@ def main(argv=None):
     ap.add_argument("--mesh", default="100,70")
     ap.add_argument("--basis", type=int, default=60)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="skip the Pallas A/B legs")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("NSTPU_CACHE_DIR", "/tmp/nstpu_jax_cache")
@@ -120,6 +122,25 @@ def main(argv=None):
 
     res["cgs2_basis%d_f64_ms" % j] = timeit(cgs2, xu, xp) * 1e3
 
+    # the GMRES-IR production config runs the whole cycle (basis, CGS2,
+    # Givens) in f32 (krylov.LowCycle); this is the cycle's actual
+    # orthogonalization cost
+    Vu32, Vp32 = Vu.astype(jnp.float32), Vp.astype(jnp.float32)
+
+    @jax.jit
+    def cgs2_f32(w_u, w_p):
+        for _ in range(2):
+            hu = jnp.einsum("jabc,abc->j", Vu32, w_u)
+            hp = jnp.einsum("jab,ab->j", Vp32, w_p)
+            h = hu + hp
+            w_u = w_u - jnp.einsum("j,jabc->abc", h, Vu32)
+            w_p = w_p - jnp.einsum("j,jab->ab", h, Vp32)
+        return w_u, w_p
+
+    res["cgs2_basis%d_f32_ms" % j] = (
+        timeit(cgs2_f32, xu.astype(jnp.float32), xp.astype(jnp.float32)) * 1e3
+    )
+
     # full blockTriangular vmult at the bench's tuned config (f32 inside)
     cfg = PrecondConfig(tri_rel_u_stokes=1e-4, tri_rel_p_stokes=1e-4)
     ctx = LinearContext(
@@ -130,6 +151,35 @@ def main(argv=None):
         make_preconditioner(1, ctx, variant="stationary", cfg=cfg)
     )
     res["blocktri_vmult_ms"] = timeit(vm, x) * 1e3
+
+    # ---- Pallas A/B (VERDICT r3 item 4): same f32 legs with the fused
+    # per-cell kernel (ops/pallas_cell.py) swapped in for the XLA
+    # gather/einsum/scatter pipeline.  The env flag is read at trace
+    # time, so fresh jit wrappers after flipping it retrace cleanly.
+    if not args.no_pallas:
+        os.environ["NSTPU_PALLAS"] = "1"
+        try:
+            mv32_pl = jax.jit(
+                lambda b: apply_jacobian(
+                    disc32, nu, 0.0, None, dF32, b, stokes=True
+                )
+            )
+            res["matvec_f32_pallas_ms"] = timeit(mv32_pl, x32) * 1e3
+            vc_pl = jax.jit(
+                make_mg_vcycle(disc, nu, 0.0, None, stokes=True,
+                               dtype=jnp.float32)
+            )
+            res["mg_vcycle_f32_pallas_ms"] = (
+                timeit(vc_pl, xu.astype(jnp.float32)) * 1e3
+            )
+            vm_pl = jax.jit(
+                make_preconditioner(1, ctx, variant="stationary", cfg=cfg)
+            )
+            res["blocktri_vmult_pallas_ms"] = timeit(vm_pl, x) * 1e3
+        except Exception as e:  # record instead of dying mid-campaign
+            res["pallas_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            del os.environ["NSTPU_PALLAS"]
 
     res["device"] = str(jax.devices()[0])
     print(json.dumps({"metric": f"microbench_{mx}x{my}", "extra": res}))

@@ -202,8 +202,7 @@ def test_simplex_dist_step_pmg_cahouet_matches_single():
 
 def test_simplex_dd_api_solve_fused_matches_single():
     """SolverOptions.dd on the -M path: the shard_map fused run must
-    reproduce the single-device fused run, and the host-driven paths
-    must refuse loudly."""
+    reproduce the single-device fused run."""
     from navier_stokes_solver_tpu.api import NSSolver, SolverOptions
 
     common = dict(mesh_size=(16, 8), Re=5.0, time_span=0.02, time_step=0.01,
@@ -215,9 +214,56 @@ def test_simplex_dd_api_solve_fused_matches_single():
 
     dd = NSSolver(SolverOptions(**common, dd=4))
     dd.setup()
-    with pytest.raises(NotImplementedError):
-        dd.solve()  # host-driven path has no shard_map wrapper on -M
     dd.solve_fused(newton_max=5, newton_tol=1e-9)
+
+    np.testing.assert_allclose(dd.drag_force, one.drag_force, atol=1e-8)
+    u1, p1 = one.fields()
+    u2, p2 = dd.fields()
+    np.testing.assert_allclose(u2, u1, atol=1e-7)
+    np.testing.assert_allclose(p2, p1, atol=1e-6)
+
+
+def test_simplex_dd_host_solve_newton_matches_single():
+    """Host-driven stationary solve_newton on a decomposed -M disc
+    (DistKernels over x-strips) reproduces the single-device solve --
+    the -M analog of test_dist's stationary equivalence (the reference's
+    -M path is fully rank-parallel, NSSolver.cpp:144-209)."""
+    from navier_stokes_solver_tpu.api import NSSolverStationary, SolverOptions
+
+    common = dict(mesh_size=(16, 8), Re=10.0, solver_type=1,
+                  tolerance=1e-10, preconditioner_type=2,
+                  verbose=False, read_mesh_from_file=True)
+    one = NSSolverStationary(SolverOptions(**common)).setup()
+    one.solve_newton()
+    one.compute_lift_drag()
+
+    dd = NSSolverStationary(SolverOptions(**common, dd=2)).setup()
+    dd.solve_newton()
+    dd.compute_lift_drag()
+
+    np.testing.assert_allclose(dd.drag_force, one.drag_force, atol=1e-8)
+    np.testing.assert_allclose(dd.lift_force, one.lift_force, atol=1e-8)
+    u1, p1 = one.fields()
+    u2, p2 = dd.fields()
+    np.testing.assert_allclose(u2, u1, atol=1e-8)
+    np.testing.assert_allclose(p2, p1, atol=1e-7)
+
+
+def test_simplex_dd_host_unsteady_solve_matches_single():
+    """Host-driven unsteady time loop (NSSolver.solve) on a decomposed
+    -M disc matches the single-device run step for step."""
+    from navier_stokes_solver_tpu.api import NSSolver, SolverOptions
+
+    common = dict(mesh_size=(16, 8), Re=5.0, time_span=0.02, time_step=0.01,
+                  solver_type=1, tolerance=1e-10, preconditioner_type=1,
+                  verbose=False, read_mesh_from_file=True)
+    one = NSSolver(SolverOptions(**common))
+    one.setup()
+    one.solve()
+
+    dd = NSSolver(SolverOptions(**common, dd=4))
+    dd.setup()
+    dd.solve()
 
     np.testing.assert_allclose(dd.drag_force, one.drag_force, atol=1e-8)
     u1, p1 = one.fields()
