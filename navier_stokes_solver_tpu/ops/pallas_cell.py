@@ -14,8 +14,12 @@ The (bandwidth-only) lattice<->cell-local gather/scatter stays in XLA
 FLOP-dense middle.  Contractions are ``[rows, C]`` matmuls with the cell
 axis on the 128-lane dimension, mapping onto the MXU.
 
-Opt-in via ``NSTPU_PALLAS=1``; validated against the XLA path in interpret
-mode on CPU (tests/test_pallas.py).
+Default ON on TPU for f32 operands since round 4 (validated compiled on a
+real v5e against the XLA path to f32 roundoff, ~2.4e-7 rel, at 32x12 /
+100x70 / 300x100 in both regimes; measured 1.38x on the f32 matvec --
+docs/PERF.md round-4 A/B).  ``NSTPU_PALLAS=0`` forces the XLA path,
+``NSTPU_PALLAS=1`` forces the kernel (interpret mode on CPU, as used by
+tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -35,7 +39,16 @@ __all__ = ["cell_apply_F_pallas", "pallas_enabled"]
 
 
 def pallas_enabled() -> bool:
-    return os.environ.get("NSTPU_PALLAS", "") == "1"
+    """Read at trace time: kernel on TPU (default), XLA on CPU (default).
+
+    The CPU default stays off because ``pallas_call`` only interprets
+    there (orders of magnitude slower than the fused XLA pipeline);
+    interpret-mode validation opts in with ``NSTPU_PALLAS=1``.
+    """
+    env = os.environ.get("NSTPU_PALLAS", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() != "cpu"
 
 
 def _interpret() -> bool:

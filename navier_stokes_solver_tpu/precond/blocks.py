@@ -144,6 +144,21 @@ class PrecondConfig:
     # rationale.
     tri_rel_u_stokes: float | None = None
     tri_rel_p_stokes: float | None = None
+    # Stokes-regime Schur surrogate for the *stationary aSIMPLE* sweep:
+    #   "shat": reference parity (NSSolverStationary.hpp:282-311) -- the
+    #           CG/FGMRES solve with S-hat = B diag(F)^-1 B^T.  S-hat is
+    #           spectrally a pressure *Laplacian*, but the Stokes Schur
+    #           complement is the pressure *mass*: outer counts grow ~1/h
+    #           (measured 169 @ 32x12 -> 398 @ 64x24 -> 2,050 @ 100x70;
+    #           docs/PERF.md config-2 analysis).  The reference has the
+    #           same wall -- its own benchmark CSVs contain no aSIMPLE rows.
+    #   "mass": the Stokes-correct 1/nu-scaled pressure-mass solve (the
+    #           same solve blockDiagonal/blockTriangular use,
+    #           NSSolver.hpp:228-236) -- h-flat Stokes outer counts.  The
+    #           rest of the SIMPLE sweep (alpha scaling, D^-1 B^T velocity
+    #           correction) is untouched, and Newton-regime applications
+    #           keep the true S-hat solve (reference semantics).
+    asimple_stokes_schur: str = "shat"
     # GMRES-IR in-cycle residual-reduction floor (krylov.LowCycle.eta;
     # None = LowCycle's default 1e-6).  A single f32 cycle cannot reduce
     # the residual much below ~eps_f32 relative to its restart residual;
@@ -668,6 +683,20 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
                 rel_f = cfg.tri_rel_u_stokes
             if cfg.tri_rel_p_stokes is not None:
                 rel_s = cfg.tri_rel_p_stokes
+        # Stokes-regime mass-Schur swap (PrecondConfig.asimple_stokes_schur)
+        stokes_mass = (
+            ctx.stokes
+            and getattr(cfg, "asimple_stokes_schur", "shat") == "mass"
+        )
+        if stokes_mass:
+            mp = ctx.jacobi_Mp()
+
+            def solve_mass(rhs, tol):
+                dp, _ = cg(
+                    ctx.Mp, rhs, jnp.zeros_like(rhs), tol=tol,
+                    maxiter=cfg.inner_maxiter, M=mp, dot=make_dot(ctx.disc),
+                )
+                return dp
 
         def vmult(src: Blocks) -> Blocks:
             if fixed:
@@ -683,7 +712,12 @@ def make_asimple(ctx: LinearContext, cfg: PrecondConfig, variant: str, alpha: fl
                     dot=dot,
                 )
             tmp_p = src.p - ctx.B(du)
-            dp = _solve_S(ctx, cfg, tmp_p, tol=rel_s * nrm(tmp_p), M=ms)
+            if stokes_mass:
+                # the Stokes-correct pressure-mass solve, exactly the
+                # blockTriangular pressure leg (NSSolver.hpp:228-236)
+                dp = solve_mass(tmp_p, rel_s * nrm(tmp_p))
+            else:
+                dp = _solve_S(ctx, cfg, tmp_p, tol=rel_s * nrm(tmp_p), M=ms)
             dp = dp * alpha
             du = du - Dinv * ctx.Bt(dp)
             return Blocks(u=du, p=dp)

@@ -68,6 +68,11 @@ def main(argv=None):
     )
     from navier_stokes_solver_tpu.precond.mg import attach_mg, make_mg_vcycle
 
+    # baseline legs measure the pure-XLA pipeline (the TPU default is the
+    # Pallas kernel since round 4); the A/B section flips this to "1"
+    prev_pallas = os.environ.get("NSTPU_PALLAS")
+    os.environ["NSTPU_PALLAS"] = "0"
+
     mx, my = (int(v) for v in args.mesh.split(","))
     disc = attach_mg(make_disc(make_fe_space(make_channel_geometry(mx, my), 3, 2)))
     key = jax.random.PRNGKey(0)
@@ -178,8 +183,10 @@ def main(argv=None):
             res["blocktri_vmult_pallas_ms"] = timeit(vm_pl, x) * 1e3
         except Exception as e:  # record instead of dying mid-campaign
             res["pallas_error"] = f"{type(e).__name__}: {e}"
-        finally:
-            del os.environ["NSTPU_PALLAS"]
+    if prev_pallas is None:
+        os.environ.pop("NSTPU_PALLAS", None)
+    else:
+        os.environ["NSTPU_PALLAS"] = prev_pallas
 
     res["device"] = str(jax.devices()[0])
     print(json.dumps({"metric": f"microbench_{mx}x{my}", "extra": res}))

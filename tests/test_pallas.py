@@ -1,7 +1,7 @@
 """Pallas fused cell kernel vs the XLA eval/project pipeline.
 
 Runs in interpret mode on the CPU test mesh; on TPU the same kernel
-compiles via Mosaic (opt-in with NSTPU_PALLAS=1).
+compiles via Mosaic (TPU default since round 4; NSTPU_PALLAS=1 forces it on CPU).
 """
 
 import jax
