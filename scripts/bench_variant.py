@@ -34,6 +34,14 @@ def main(argv=None):
     )
     ap.add_argument("--fixed-f-cycles", type=int, default=2)
     ap.add_argument("--ir-eta", type=float, default=None)
+    ap.add_argument("--prec", type=int, default=1, choices=(0, 1, 2),
+                    help="preconditioner (-p): 0 blockDiagonal, "
+                    "1 blockTriangular, 2 aSIMPLE")
+    ap.add_argument("--stokes-schur", default="shat",
+                    choices=("shat", "mass"),
+                    help="aSIMPLE Stokes-regime Schur surrogate "
+                    "(PrecondConfig.asimple_stokes_schur)")
+    ap.add_argument("--re", type=float, default=100.0)
     ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (iteration-count A/Bs; walls are "
@@ -64,11 +72,12 @@ def main(argv=None):
         inner_mode=args.inner_mode,
         fixed_f_cycles=args.fixed_f_cycles,
         ir_eta=args.ir_eta,
+        asimple_stokes_schur=args.stokes_schur,
     )
     opts = SolverOptions(
         mesh_size=(mx, my), degree_velocity=3, degree_pressure=2,
-        Re=100.0, solver_type=1, tolerance=args.tol,
-        preconditioner_type=1,
+        Re=args.re, solver_type=1, tolerance=args.tol,
+        preconditioner_type=args.prec,
         verbose=bool(os.environ.get("NSTPU_VARIANT_VERBOSE")),
         krylov_basis=args.basis, precond_config=cfg,
     )
@@ -85,9 +94,11 @@ def main(argv=None):
     print(
         json.dumps(
             {
-                "metric": f"bench_variant_{mx}x{my}_b{args.basis}"
+                "metric": f"bench_variant_{mx}x{my}_p{args.prec}"
+                f"_b{args.basis}"
                 f"_ir{args.ir}_trelu{args.tri_rel_u}_trelp{args.tri_rel_p}"
-                f"_schur{args.schur}_im{args.inner_mode}",
+                f"_schur{args.schur}_ss{args.stokes_schur}"
+                f"_im{args.inner_mode}",
                 "value": round(wall, 2),
                 "unit": "s",
                 "extra": {

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""BASELINE config-3 lift/drag trajectory on the -M simplex backend.
+
+Reproduces the reference's flagship unsteady artifact: the per-step
+lift/drag coefficient history appended to ``{drag,lift}_coefficient_<Re>.txt``
+(NSSolver.cpp:976-1018).  The reference's recorded artifact
+(lab_new/lift_drag_data/drag_coefficient_0.20.txt, 31 values) comes from
+``-M -T 0.31,0.01 -r 1.0`` runs: the CLI ``-r 1.0`` target makes the
+per-step ramp solve once at nu=1.0 and ``get_reynolds()`` names the file
+0.20 (U_avg = 2/3 * 0.3, D = 0.1).
+
+Default drive: fused on-device time loop (``solve_fused``) at the SLURM
+benchmark shape (run_sim_unsteady.sh:21: -m 60,40 -s 1 -p 1 -t 1e-9);
+``--host`` switches to the host-driven reference-faithful path (per-step
+Re continuation).  Prints one JSON line with per-step walls and writes
+the coefficient files to --outdir.
+
+Usage:
+  python scripts/config3_liftdrag.py --mesh 60,40 --re 1.0 -T 0.31,0.01
+  python scripts/config3_liftdrag.py --re 100 -T 0.1,0.01   (config-3 Re=100)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default="60,40")
+    ap.add_argument("--re", type=float, default=1.0)
+    ap.add_argument("-T", "--time", default="0.31,0.01")
+    ap.add_argument("--tol", type=float, default=1e-9)
+    ap.add_argument("--solver", type=int, default=1)
+    ap.add_argument("--prec", type=int, default=1)
+    ap.add_argument("--host", action="store_true",
+                    help="host-driven solve() (per-step Re ramp) instead "
+                    "of the fused scan")
+    ap.add_argument("--chunk-steps", type=int, default=1,
+                    help="fused: time steps per device call")
+    ap.add_argument("--krylov-maxiter", type=int, default=2000,
+                    help="fused: per-Newton Krylov cap (bounds one "
+                    "dispatch's device time together with --newton-max)")
+    ap.add_argument("--newton-max", type=int, default=None)
+    ap.add_argument("--outdir", default="lift_drag_out")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    os.environ.setdefault("NSTPU_CACHE_DIR", "/tmp/nstpu_jax_cache")
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.environ["NSTPU_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from navier_stokes_solver_tpu.api import NSSolver, SolverOptions
+
+    mx, my = (int(v) for v in args.mesh.split(","))
+    span, dt = (float(v) for v in args.time.split(","))
+    opts = SolverOptions(
+        mesh_size=(mx, my), read_mesh_from_file=True,
+        Re=args.re, solver_type=args.solver, tolerance=args.tol,
+        preconditioner_type=args.prec, time_span=span, time_step=dt,
+        verbose=bool(os.environ.get("NSTPU_CONFIG3_VERBOSE")),
+        output_dir=args.outdir,
+    )
+    s = NSSolver(opts)
+    s.setup()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    n_steps = int(round(span / dt))
+    t0 = time.perf_counter()
+    if args.host:
+        # reference-faithful host loop (per-step Re ramp, NSSolver.cpp:799)
+        s.solve()
+    else:
+        s.solve_fused(
+            chunk_steps=args.chunk_steps,
+            krylov_maxiter=args.krylov_maxiter,
+            newton_max=args.newton_max,
+        )
+    wall = time.perf_counter() - t0
+    steps = [h for h in s.history if h.get("phase") == "step"]
+    # append the per-step coefficient history in the reference's file
+    # format -- one value per line, keyed by the computed Reynolds
+    # (write_lift_drag_to_file semantics, NSSolver.cpp:976-1018)
+    ua = s.get_avg_inlet_velocity()
+    re_name = s.get_reynolds()
+    for h in steps:
+        for coeff, force in (
+            ("drag_coefficient", h["drag_force"]),
+            ("lift_coefficient", h["lift_force"]),
+        ):
+            path = os.path.join(args.outdir, f"{coeff}_{re_name:.2f}.txt")
+            with open(path, "a") as f:
+                f.write(f"{2.0 * force / (ua * ua * 0.1)}\n")
+
+    print(json.dumps({
+        "metric": f"config3_{mx}x{my}_re{args.re}_"
+        f"{'host' if args.host else 'fused'}",
+        "value": round(wall, 2),
+        "unit": "s",
+        "extra": {
+            "n_steps": n_steps,
+            "s_per_step": round(wall / max(1, n_steps), 3),
+            "tol": args.tol,
+            "drag_coeff_last": s.drag_coeff,
+            "lift_coeff_last": s.lift_coeff,
+            "krylov_iters_per_step": [
+                h.get("krylov_iters") for h in steps
+            ][:40],
+            "device": str(jax.devices()[0]),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
