@@ -113,6 +113,16 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
         "convection-diffusion; adds Re-robustness)",
     )
     p.add_argument(
+        "--stokes-schur",
+        choices=("shat", "mass"),
+        default="shat",
+        metavar="MODE",
+        help="aSIMPLE (-p 2) Stokes-regime Schur surrogate: 'shat' "
+        "(reference parity, S-hat = B diag(F)^-1 B^T; Stokes outer "
+        "counts grow ~1/h) or 'mass' (the Stokes-correct pressure-mass "
+        "solve; h-flat counts -- the BASELINE config-2 lever)",
+    )
+    p.add_argument(
         "--cavity",
         action="store_true",
         help="solve the lid-driven cavity (unit box, moving top lid) "
@@ -185,12 +195,17 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
 
         opts.dtype = jnp.float32
     opts.krylov_basis = args.basis
-    if args.ir is not None or args.schur != "mass":
+    if (
+        args.ir is not None
+        or args.schur != "mass"
+        or args.stokes_schur != "shat"
+    ):
         from navier_stokes_solver_tpu.precond import PrecondConfig
 
         opts.precond_config = PrecondConfig(
             krylov_cycle_dtype=args.ir,
             schur_mode=args.schur,
+            asimple_stokes_schur=args.stokes_schur,
         )
     if args.dd:
         if "," in args.dd:

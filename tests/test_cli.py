@@ -96,3 +96,16 @@ def test_perf_flags_parse():
     o = parse_options(["--schur", "pcd", "--ir"], unsteady=True)
     assert o.precond_config.schur_mode == "pcd"
     assert o.precond_config.krylov_cycle_dtype == "float32"
+
+
+def test_stokes_schur_flag_parses():
+    """--stokes-schur maps onto PrecondConfig.asimple_stokes_schur (the
+    BASELINE config-2 lever; default 'shat' = reference parity)."""
+    o = parse_options([], unsteady=False)
+    assert o.precond_config is None  # default shat builds no config
+    o = parse_options(["--stokes-schur", "mass"], unsteady=False)
+    assert o.precond_config.asimple_stokes_schur == "mass"
+    assert o.precond_config.schur_mode == "mass"
+    o = parse_options(["--stokes-schur", "mass", "--ir"], unsteady=True)
+    assert o.precond_config.asimple_stokes_schur == "mass"
+    assert o.precond_config.krylov_cycle_dtype == "float32"
