@@ -217,8 +217,30 @@ class NSSolver(NSSolverBase):
             1.0 + 10.0 * ((self.Re - 1.0) // 10.0) if self.Re >= 1.0 else self.Re
         )
         self.nu = 1.0 / eff_re
+        # Per-dispatch execution budget: a single XLA execution running
+        # longer than a few minutes gets the remote worker killed.  The
+        # chunk boundary is bitwise-neutral (run_time_loop docstring), so
+        # on accelerators default to one step per dispatch; the worst-case
+        # per-dispatch iteration count is chunk x newton_max x maxiter --
+        # the round-3 60x40 fused-simplex "worker faults" were exactly
+        # this product left unbounded (docs/PERF.md round-4 isolation).
+        import jax
+
+        if chunk_steps is None and jax.default_backend() != "cpu":
+            chunk_steps = 1
+        worst = (chunk_steps or n_steps) * kw["newton_max"] * krylov_maxiter
+        if worst > 5000 and jax.default_backend() != "cpu":
+            self.log(
+                f"WARNING: worst-case {worst} Krylov iterations per device "
+                "dispatch (chunk_steps x newton_max x krylov_maxiter); the "
+                "TPU worker kills executions over a few minutes -- lower "
+                "krylov_maxiter/newton_max or chunk_steps if steps stall"
+            )
         final, hist = run_time_loop(
-            step, ts0, self.nu, o.time_step, n_steps, chunk=chunk_steps
+            step, ts0, self.nu, o.time_step, n_steps, chunk=chunk_steps,
+            progress=lambda done, total, w: self.log(
+                f"  fused: step {done}/{total} retired ({w:.1f} s/dispatch)"
+            ),
         )
         import numpy as np
 

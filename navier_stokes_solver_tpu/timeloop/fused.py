@@ -289,7 +289,8 @@ def make_stokes_init(
 
 
 def run_time_loop(
-    step_fn, ts0: TimeState, nu, dt, n_steps: int, *, chunk: int | None = None
+    step_fn, ts0: TimeState, nu, dt, n_steps: int, *, chunk: int | None = None,
+    progress=None,
 ):
     """Run ``n_steps`` implicit-Euler steps as ``lax.scan``s; streams
     per-step (drag, lift, newton_iters, krylov_iters).
@@ -301,6 +302,11 @@ def run_time_loop(
     scan carry, it does not change any step's computation).  At most two
     programs compile (the chunk length and one remainder).  None = one
     scan over all steps.
+
+    ``progress``: optional ``fn(steps_done, n_steps, chunk_wall_s)``
+    called after each retired chunk (host side; chunked path only) --
+    lets long runs log per-dispatch walls so a worker fault is
+    attributable to the step that hit it.
     """
 
     def body(ts, _):
@@ -314,16 +320,30 @@ def run_time_loop(
     if chunk is None or chunk >= n_steps:
         final, (drag, lift, ni, ki) = scan_k(ts0, n_steps)
     else:
+        import time as _time
+
         ts = ts0
         outs = []
         remaining = n_steps
         while remaining > 0:
             k = min(chunk, remaining)
+            t0 = _time.perf_counter()
             ts, out = scan_k(ts, k)
-            # block so one device call retires before the next dispatch
-            jax.block_until_ready(ts.time)
+            # retire this device call before the next dispatch with a REAL
+            # device->host value fetch: under the remote (axon) runtime
+            # block_until_ready returns before the execution has actually
+            # completed, so 31 chunk dispatches would queue up and occupy
+            # the worker back-to-back for tens of minutes -- which is
+            # exactly the unattended-execution pattern the worker kills
+            # (observed: per-chunk walls of 0.0 s followed by UNAVAILABLE
+            # at the final fetch).  A scalar fetch costs ~ms and bounds
+            # the queue depth to one in-flight program.
+            jax.device_get(ts.time)
             outs.append(out)
             remaining -= k
+            if progress is not None:
+                progress(n_steps - remaining, n_steps,
+                         _time.perf_counter() - t0)
         final = ts
         drag, lift, ni, ki = (
             jnp.concatenate([o[i] for o in outs]) for i in range(4)

@@ -42,6 +42,18 @@ def main(argv=None):
                     help="aSIMPLE Stokes-regime Schur surrogate "
                     "(PrecondConfig.asimple_stokes_schur)")
     ap.add_argument("--re", type=float, default=100.0)
+    ap.add_argument("--solver", type=int, default=1, choices=(0, 1, 2),
+                    help="Krylov method (-s): 0 GMRES, 1 FGMRES, 2 BiCGStab")
+    ap.add_argument("--deg", default="3,2",
+                    help="velocity,pressure degrees (reference generated-"
+                    "mesh default 3,2; -M parity 2,1)")
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="absorb the one-time per-process worker session stall "
+        "(tiny matmul + one un-timed assemble) before the timed solve, "
+        "so phase timings measure the solver (docs/PERF.md config-1 "
+        "stall finding)",
+    )
     ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (iteration-count A/Bs; walls are "
@@ -74,13 +86,26 @@ def main(argv=None):
         ir_eta=args.ir_eta,
         asimple_stokes_schur=args.stokes_schur,
     )
+    dv, dp = (int(v) for v in args.deg.split(","))
     opts = SolverOptions(
-        mesh_size=(mx, my), degree_velocity=3, degree_pressure=2,
-        Re=args.re, solver_type=1, tolerance=args.tol,
+        mesh_size=(mx, my), degree_velocity=dv, degree_pressure=dp,
+        Re=args.re, solver_type=args.solver, tolerance=args.tol,
         preconditioner_type=args.prec,
         verbose=bool(os.environ.get("NSTPU_VARIANT_VERBOSE")),
         krylov_basis=args.basis, precond_config=cfg,
     )
+    if args.warmup:
+        # absorb the per-process worker session stall + executable loads
+        # outside the timed window: tiny matmul, then one throwaway
+        # first-assemble on an identically-shaped solver
+        import jax.numpy as jnp
+
+        a = jnp.ones((128, 128))
+        jnp.dot(a, a).block_until_ready()
+        w = NSSolverStationary(opts)
+        w.setup()
+        w.assemble_system(stokes=True, lifting=True)
+        del w
     s = NSSolverStationary(opts)
     s.setup()
     t0 = time.perf_counter()
@@ -94,7 +119,8 @@ def main(argv=None):
     print(
         json.dumps(
             {
-                "metric": f"bench_variant_{mx}x{my}_p{args.prec}"
+                "metric": f"bench_variant_{mx}x{my}_s{args.solver}"
+                f"_p{args.prec}"
                 f"_b{args.basis}"
                 f"_ir{args.ir}_trelu{args.tri_rel_u}_trelp{args.tri_rel_p}"
                 f"_schur{args.schur}_ss{args.stokes_schur}"

@@ -89,19 +89,14 @@ def main(argv=None):
         )
     wall = time.perf_counter() - t0
     steps = [h for h in s.history if h.get("phase") == "step"]
-    # append the per-step coefficient history in the reference's file
-    # format -- one value per line, keyed by the computed Reynolds
-    # (write_lift_drag_to_file semantics, NSSolver.cpp:976-1018)
-    ua = s.get_avg_inlet_velocity()
-    re_name = s.get_reynolds()
+    # append the per-step coefficient history to the reference's per-Re
+    # files through the production writer (NSSolver.cpp:976-1018): restore
+    # each step's forces onto the solver and call write_lift_drag_to_file
     for h in steps:
-        for coeff, force in (
-            ("drag_coefficient", h["drag_force"]),
-            ("lift_coefficient", h["lift_force"]),
-        ):
-            path = os.path.join(args.outdir, f"{coeff}_{re_name:.2f}.txt")
-            with open(path, "a") as f:
-                f.write(f"{2.0 * force / (ua * ua * 0.1)}\n")
+        s.drag_force, s.lift_force = h["drag_force"], h["lift_force"]
+        s.compute_drag_coeff()
+        s.compute_lift_coeff()
+        s.write_lift_drag_to_file(args.outdir)
 
     print(json.dumps({
         "metric": f"config3_{mx}x{my}_re{args.re}_"
