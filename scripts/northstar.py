@@ -102,14 +102,18 @@ def run_unsteady(args):
         first = False
         if bool(info.converged) or int(info.iters) < args.init_maxiter:
             break
-    jax.block_until_ready(sol0.u)
+    # real device->host fetch: block_until_ready may return before the
+    # remote execution completes (docs/PERF.md round-4 fused-simplex
+    # isolation), which would both corrupt walls and let dispatches pile
+    # up on the worker
+    jax.device_get(sol0.p[..., :1])
     t_init = time.perf_counter() - t0
     ts = ts._replace(solution=sol0)
 
     # one step to compile + warm, then timed steps (1 device call per step)
     t0 = time.perf_counter()
     ts, _ = run_time_loop(step, ts, nu, dt, 1)
-    jax.block_until_ready(ts.solution.u)
+    jax.device_get(ts.time)
     t_compile_step = time.perf_counter() - t0
 
     per_step = []
@@ -118,7 +122,7 @@ def run_unsteady(args):
     for _ in range(args.steps):
         t0 = time.perf_counter()
         ts, h = run_time_loop(step, ts, nu, dt, 1)
-        jax.block_until_ready(ts.solution.u)
+        jax.device_get(ts.time)
         per_step.append(time.perf_counter() - t0)
         iters.append(int(jnp.ravel(h["krylov_iters"])[0]))
         newts.append(int(jnp.ravel(h["newton_iters"])[0]))
