@@ -160,7 +160,9 @@ class NSSolver(NSSolverBase):
     def solve_fused(self, *, newton_max: int | None = None,
                     newton_tol: float | None = None,
                     krylov_maxiter: int = 2000,
-                    chunk_steps: int | None = None):
+                    chunk_steps: int | None = None,
+                    checkpoint_dir: str | None = None,
+                    max_steps_this_call: int | None = None):
         """Fully on-device time loop (performance path).
 
         The whole run -- every implicit-Euler step with its Newton loop,
@@ -170,6 +172,16 @@ class NSSolver(NSSolverBase):
         round trips (NSSolver.cpp:814-836).  Numerics note: the fused step
         solves at the target viscosity directly (warm-started), instead of
         re-running the Re-continuation ramp inside every step.
+
+        ``checkpoint_dir``: persist the ``TimeState`` plus the per-step
+        (drag, lift, iters) history after every retired chunk, and resume
+        from that checkpoint on entry if one exists -- elastic restart for
+        long runs on a preemptible/fault-prone device (the reference loses
+        everything on an MPI abort, SURVEY.md section 5).  Single-device
+        fused loop only.  ``max_steps_this_call``: stop (with a checkpoint
+        written) after this many steps, letting a driver split one long
+        trajectory across several short-lived processes; callers detect a
+        partial run via ``self.time_step_index < round(T/dt)``.
         """
         from navier_stokes_solver_tpu.timeloop import (
             initial_state,
@@ -205,11 +217,49 @@ class NSSolver(NSSolverBase):
                 make_dist_time_step,
             )
 
+            if checkpoint_dir is not None:
+                raise ValueError(
+                    "checkpoint_dir is single-device only (the decomposed "
+                    "TimeState is tile-stacked)"
+                )
             step = make_dist_time_step(self.disc, self.dist_mesh, **kw)
             ts0 = init_dist_state(self.disc)._replace(solution=self.solution)
         else:
             step = make_time_step(self.disc, **kw)
             ts0 = initial_state(self.disc)._replace(solution=self.solution)
+
+        # elastic resume: pick up the TimeState + per-step history written
+        # by a previous (crashed or step-budgeted) invocation
+        import os
+
+        start, prior = 0, []
+        if checkpoint_dir is not None and os.path.exists(
+            os.path.join(checkpoint_dir, "time_state.npz")
+        ):
+            import json
+
+            from navier_stokes_solver_tpu.io.checkpoint import load_time_state
+
+            ts0 = load_time_state(self.disc, checkpoint_dir)
+            start = int(ts0.step)
+            hist_path = os.path.join(checkpoint_dir, "history.json")
+            if os.path.exists(hist_path):
+                with open(hist_path) as f:
+                    prior = json.load(f)
+            if len(prior) != start:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} is inconsistent: "
+                    f"TimeState.step={start} but history has {len(prior)} "
+                    "entries"
+                )
+            if start >= n_steps:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} already covers all "
+                    f"{n_steps} steps"
+                )
+            self.log(
+                f"  fused: resuming from checkpoint at step {start}/{n_steps}"
+            )
         # the reference's per-step ramp current_Re = 1, 11, 21, ... never
         # exceeds the target, so its final (effective) viscosity is
         # 1 / (1 + 10 k) (NSSolver.cpp:684-687); reproduce that here
@@ -228,6 +278,8 @@ class NSSolver(NSSolverBase):
 
         if chunk_steps is None and jax.default_backend() != "cpu":
             chunk_steps = 1
+        if checkpoint_dir is not None and chunk_steps is None:
+            chunk_steps = 1  # the checkpoint hook fires per retired chunk
         worst = (chunk_steps or n_steps) * kw["newton_max"] * krylov_maxiter
         if worst > 5000 and jax.default_backend() != "cpu":
             self.log(
@@ -236,18 +288,52 @@ class NSSolver(NSSolverBase):
                 "TPU worker kills executions over a few minutes -- lower "
                 "krylov_maxiter/newton_max or chunk_steps if steps stall"
             )
-        final, hist = run_time_loop(
-            step, ts0, self.nu, o.time_step, n_steps, chunk=chunk_steps,
-            progress=lambda done, total, w: self.log(
-                f"  fused: step {done}/{total} retired ({w:.1f} s/dispatch)"
-            ),
-        )
+
+        todo = n_steps - start
+        if max_steps_this_call is not None:
+            todo = min(todo, max(1, int(max_steps_this_call)))
+
         import numpy as np
+
+        acc = list(prior)
+        on_chunk = None
+        if checkpoint_dir is not None:
+            import json
+
+            from navier_stokes_solver_tpu.io.checkpoint import save_time_state
+
+            def on_chunk(ts, out_host):
+                d, l, ni_, ki_ = (
+                    np.atleast_1d(np.asarray(o)).reshape(
+                        np.atleast_1d(np.asarray(o)).shape[0], -1
+                    )[:, 0]
+                    for o in out_host
+                )
+                for j in range(d.shape[0]):
+                    acc.append(
+                        [float(d[j]), float(l[j]), int(ni_[j]), int(ki_[j])]
+                    )
+                save_time_state(ts, checkpoint_dir)
+                tmp = os.path.join(checkpoint_dir, "history.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(acc, f)
+                os.replace(
+                    tmp, os.path.join(checkpoint_dir, "history.json")
+                )
+
+        final, hist = run_time_loop(
+            step, ts0, self.nu, o.time_step, todo, chunk=chunk_steps,
+            progress=lambda done, total, w: self.log(
+                f"  fused: step {start + done}/{n_steps} retired "
+                f"({w:.1f} s/dispatch)"
+            ),
+            on_chunk=on_chunk,
+        )
 
         # under dd every scalar is tile-stacked with identical (psum'd)
         # values; read entry 0
         scal = lambda a: float(np.ravel(np.asarray(a))[0])
-        col = lambda a: np.asarray(a).reshape(n_steps, -1)[:, 0]
+        col = lambda a, n: np.asarray(a).reshape(n, -1)[:, 0]
         self.solution = final.solution
         self.time = scal(final.time)
         self.time_step_index = int(np.ravel(np.asarray(final.step))[0])
@@ -255,9 +341,12 @@ class NSSolver(NSSolverBase):
         self.lift_force = scal(final.lift)
         self.compute_drag_coeff()
         self.compute_lift_coeff()
-        drag, lift = col(hist["drag"]), col(hist["lift"])
-        ni, ki = col(hist["newton_iters"]), col(hist["krylov_iters"])
-        for i in range(n_steps):
+        pr = np.asarray(prior, dtype=float).reshape(len(prior), 4)
+        drag = np.concatenate([pr[:, 0], col(hist["drag"], todo)])
+        lift = np.concatenate([pr[:, 1], col(hist["lift"], todo)])
+        ni = np.concatenate([pr[:, 2], col(hist["newton_iters"], todo)])
+        ki = np.concatenate([pr[:, 3], col(hist["krylov_iters"], todo)])
+        for i in range(start + todo):
             self.history.append(
                 dict(
                     phase="step",
@@ -268,5 +357,10 @@ class NSSolver(NSSolverBase):
                     newton_iters=int(ni[i]),
                     krylov_iters=int(ki[i]),
                 )
+            )
+        if start + todo < n_steps:
+            self.log(
+                f"  fused: stopped after {start + todo}/{n_steps} steps "
+                "(max_steps_this_call); resume from the checkpoint"
             )
         return hist

@@ -290,7 +290,7 @@ def make_stokes_init(
 
 def run_time_loop(
     step_fn, ts0: TimeState, nu, dt, n_steps: int, *, chunk: int | None = None,
-    progress=None,
+    progress=None, on_chunk=None,
 ):
     """Run ``n_steps`` implicit-Euler steps as ``lax.scan``s; streams
     per-step (drag, lift, newton_iters, krylov_iters).
@@ -307,6 +307,11 @@ def run_time_loop(
     called after each retired chunk (host side; chunked path only) --
     lets long runs log per-dispatch walls so a worker fault is
     attributable to the step that hit it.
+
+    ``on_chunk``: optional ``fn(ts, out_host)`` called after each retired
+    chunk with the current ``TimeState`` and that chunk's host-fetched
+    per-step outputs ``(drag, lift, newton_iters, krylov_iters)`` --
+    the checkpoint hook for elastic restart of long runs.
     """
 
     def body(ts, _):
@@ -322,6 +327,8 @@ def run_time_loop(
     else:
         import time as _time
 
+        import numpy as np
+
         ts = ts0
         outs = []
         remaining = n_steps
@@ -336,17 +343,23 @@ def run_time_loop(
             # the worker back-to-back for tens of minutes -- which is
             # exactly the unattended-execution pattern the worker kills
             # (observed: per-chunk walls of 0.0 s followed by UNAVAILABLE
-            # at the final fetch).  A scalar fetch costs ~ms and bounds
-            # the queue depth to one in-flight program.
-            jax.device_get(ts.time)
-            outs.append(out)
+            # at the final fetch).  Fetching the (tiny) per-step outputs
+            # both bounds the queue depth to one in-flight program and
+            # streams the stats to the host as the run progresses, so no
+            # device buffers accumulate across dispatches and a later
+            # worker fault cannot lose already-completed steps.
+            out_host = jax.device_get(out)
+            outs.append(out_host)
             remaining -= k
+            if on_chunk is not None:
+                on_chunk(ts, out_host)
             if progress is not None:
                 progress(n_steps - remaining, n_steps,
                          _time.perf_counter() - t0)
         final = ts
         drag, lift, ni, ki = (
-            jnp.concatenate([o[i] for o in outs]) for i in range(4)
+            np.concatenate([np.atleast_1d(np.asarray(o[i])) for o in outs])
+            for i in range(4)
         )
     return final, {
         "drag": drag,

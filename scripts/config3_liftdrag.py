@@ -49,6 +49,14 @@ def main(argv=None):
                     "dispatch's device time together with --newton-max)")
     ap.add_argument("--newton-max", type=int, default=None)
     ap.add_argument("--outdir", default="lift_drag_out")
+    ap.add_argument("--ckpt", default=None,
+                    help="fused: checkpoint dir; resumes automatically if "
+                    "a checkpoint exists (elastic restart across worker "
+                    "faults)")
+    ap.add_argument("--segment-steps", type=int, default=None,
+                    help="fused: stop (exit code 3, checkpoint written) "
+                    "after this many steps this process -- keeps each TPU "
+                    "client session short; relaunch to continue")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -86,9 +94,30 @@ def main(argv=None):
             chunk_steps=args.chunk_steps,
             krylov_maxiter=args.krylov_maxiter,
             newton_max=args.newton_max,
+            checkpoint_dir=args.ckpt,
+            max_steps_this_call=args.segment_steps,
         )
     wall = time.perf_counter() - t0
+    seg_walls = [wall]
+    if args.ckpt:
+        # accumulate per-segment walls across resumed processes
+        wp = os.path.join(args.ckpt, "walls.json")
+        if os.path.exists(wp):
+            with open(wp) as f:
+                seg_walls = json.load(f) + seg_walls
+        os.makedirs(args.ckpt, exist_ok=True)
+        with open(wp, "w") as f:
+            json.dump(seg_walls, f)
+        wall = sum(seg_walls)
     steps = [h for h in s.history if h.get("phase") == "step"]
+    if not args.host and s.time_step_index < n_steps:
+        print(json.dumps({
+            "partial": True,
+            "steps_done": s.time_step_index,
+            "n_steps": n_steps,
+            "segment_wall_s": round(wall, 2),
+        }))
+        return 3
     # append the per-step coefficient history to the reference's per-Re
     # files through the production writer (NSSolver.cpp:976-1018): restore
     # each step's forces onto the solver and call write_lift_drag_to_file
@@ -105,6 +134,7 @@ def main(argv=None):
         "unit": "s",
         "extra": {
             "n_steps": n_steps,
+            "segment_walls_s": [round(w, 2) for w in seg_walls],
             "s_per_step": round(wall / max(1, n_steps), 3),
             "tol": args.tol,
             "drag_coeff_last": s.drag_coeff,

@@ -76,3 +76,46 @@ def test_run_time_loop_chunked_bitwise_equal():
         np.asarray(f1.solution.p), np.asarray(f2.solution.p)
     )
     assert int(f2.step) == 5
+
+
+def test_solve_fused_checkpoint_resume_equivalence(tmp_path):
+    """An elastic-restart run (two processes' worth of solve_fused calls
+    through a checkpoint dir) reproduces the single-call run bitwise:
+    same fields, same per-step history (worker-fault recovery path)."""
+    from navier_stokes_solver_tpu.api import NSSolver, SolverOptions
+
+    def opts():
+        return SolverOptions(
+            mesh_size=(16, 8), Re=10.0, solver_type=1, tolerance=1e-8,
+            preconditioner_type=1, time_span=0.04, time_step=0.01,
+        )
+
+    ref = NSSolver(opts())
+    ref.setup()
+    ref.solve_fused(newton_max=3, krylov_maxiter=200)
+    ref_steps = [h for h in ref.history if h.get("phase") == "step"]
+    assert len(ref_steps) == 4
+
+    ck = str(tmp_path / "ck")
+    s1 = NSSolver(opts())
+    s1.setup()
+    s1.solve_fused(newton_max=3, krylov_maxiter=200,
+                   checkpoint_dir=ck, max_steps_this_call=2)
+    assert s1.time_step_index == 2  # partial
+
+    s2 = NSSolver(opts())
+    s2.setup()
+    s2.solve_fused(newton_max=3, krylov_maxiter=200, checkpoint_dir=ck)
+    assert s2.time_step_index == 4
+    res_steps = [h for h in s2.history if h.get("phase") == "step"]
+    assert len(res_steps) == 4
+    for a, b in zip(ref_steps, res_steps):
+        assert a["drag_force"] == b["drag_force"]
+        assert a["lift_force"] == b["lift_force"]
+        assert a["krylov_iters"] == b["krylov_iters"]
+    np.testing.assert_array_equal(
+        np.asarray(ref.solution.u), np.asarray(s2.solution.u)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.solution.p), np.asarray(s2.solution.p)
+    )
