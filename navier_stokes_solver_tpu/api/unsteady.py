@@ -40,15 +40,35 @@ class NSSolver(NSSolverBase):
         return self.U_M
 
     # ------------------------------------------------------------------
-    def solve_newton(self):
-        """NSSolver::solve_newton (NSSolver.cpp:674-754)."""
+    def solve_newton(self, *, ramp: bool = True):
+        """NSSolver::solve_newton (NSSolver.cpp:674-754).
+
+        ``ramp=False`` skips the per-step Reynolds continuation and Newtons
+        once at the ramp's final level 1 + 10*floor((Re-1)/10) -- the same
+        effective viscosity ``solve_fused`` uses (warm starts from the
+        previous time step make the lower-Re solves redundant); see
+        ``solve(direct=True)``.
+        """
         self.log("===============================================")
         target_Re = self.Re
         first_iter = True
         self.log(f"Target Re = {target_Re}")
 
-        current_Re = 1.0
-        while current_Re <= target_Re:
+        if ramp:
+            # IEEE-identical stepping to the reference loop
+            # (NSSolver.cpp:684: current_Re = 1; current_Re <= Re; += 10)
+            levels = []
+            current_Re = 1.0
+            while current_Re <= target_Re:
+                levels.append(current_Re)
+                current_Re += 10.0
+        else:
+            levels = [
+                1.0 + 10.0 * ((target_Re - 1.0) // 10.0)
+                if target_Re >= 1.0
+                else target_Re
+            ]
+        for current_Re in levels:
             self.log("===============================================")
             self.nu = 1.0 / current_Re
             self.log(f"Solving for Re = {self.get_reynolds()}")
@@ -112,13 +132,22 @@ class NSSolver(NSSolverBase):
                     self.log(" < tolerance")
                     break
                 n_iter += 1
-            current_Re += 10.0
 
         self.log("===============================================")
 
     # ------------------------------------------------------------------
-    def solve(self):
-        """Implicit-Euler time loop (NSSolver.cpp:799-837)."""
+    def solve(self, *, direct: bool = False):
+        """Implicit-Euler time loop (NSSolver.cpp:799-837).
+
+        ``direct=True`` (extension beyond the reference; the stationary
+        solver's ``solve_direct`` cousin): each step runs ONE Newton solve
+        at the ramp's final viscosity, warm-started from the previous
+        step, instead of replaying the full Re continuation.  Numerically
+        the host-driven twin of ``solve_fused`` -- but every device call
+        is bounded by the adaptive Krylov chunking in ``solve_system``,
+        so arbitrarily large meshes respect the TPU per-call execution
+        budget (the fused step's worst-case single-dispatch time grows
+        with DoF count)."""
         self.log("===============================================")
         self.time = 0.0
         self.output(0)
@@ -134,7 +163,7 @@ class NSSolver(NSSolverBase):
             self.log(
                 f"n = {self.time_step_index:3d}, t = {self.time:5.2f}"
             )
-            self.solve_newton()
+            self.solve_newton(ramp=not direct)
             self.apply_first = False
             self.output(self.time_step_index)
             self.compute_lift_drag()

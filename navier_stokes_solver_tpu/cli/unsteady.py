@@ -9,11 +9,22 @@ from navier_stokes_solver_tpu.cli.common import echo_config, parse_options
 
 
 def main(argv=None):
-    opts = parse_options(argv if argv is not None else sys.argv[1:], unsteady=True)
+    argv = list(argv if argv is not None else sys.argv[1:])
+    # extension flag (stationary CLI cousin): one Newton solve per step at
+    # the ramp's final viscosity instead of the per-step Re continuation
+    direct = "--direct" in argv
+    if direct:
+        argv.remove("--direct")
+    opts = parse_options(argv, unsteady=True)
     echo_config(opts, unsteady=True)
     problem = NSSolver(opts)
     problem.setup()
-    run = problem.solve_fused if opts.fused else problem.solve
+    if opts.fused:
+        run = problem.solve_fused
+    elif direct:
+        run = lambda: problem.solve(direct=True)
+    else:
+        run = problem.solve
     if opts.profile_dir:
         from navier_stokes_solver_tpu.obs import trace_to
 

@@ -119,3 +119,34 @@ def test_solve_fused_checkpoint_resume_equivalence(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ref.solution.p), np.asarray(s2.solution.p)
     )
+
+
+def test_solve_direct_matches_fused():
+    """Host-driven direct mode (one Newton solve per step at the ramp's
+    final viscosity, adaptive-chunked device calls) is the numerical twin
+    of the fused on-device loop: same per-step drag/lift to solver
+    tolerance."""
+    from navier_stokes_solver_tpu.api import NSSolver, SolverOptions
+
+    def opts():
+        return SolverOptions(
+            mesh_size=(16, 8), Re=10.0, solver_type=1, tolerance=1e-10,
+            preconditioner_type=1, time_span=0.03, time_step=0.01,
+        )
+
+    a = NSSolver(opts())
+    a.setup()
+    a.solve(direct=True)
+    a_steps = [h for h in a.history if h.get("phase") == "step"]
+
+    b = NSSolver(opts())
+    b.setup()
+    b.solve_fused(krylov_maxiter=400)
+    b_steps = [h for h in b.history if h.get("phase") == "step"]
+
+    assert len(a_steps) == len(b_steps) == 3
+    for ha, hb in zip(a_steps, b_steps):
+        da, db = ha["drag_force"], hb["drag_force"]
+        la, lb = ha["lift_force"], hb["lift_force"]
+        assert abs(da - db) <= 1e-6 * max(1.0, abs(da))
+        assert abs(la - lb) <= 1e-6 * max(1.0, abs(la))
