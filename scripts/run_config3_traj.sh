@@ -9,16 +9,26 @@
 # round-4) -- and survives worker faults by waiting, probing with a tiny
 # matmul, and resuming from the checkpoint.
 #
-# Usage: scripts/run_config3_traj.sh <outdir> [segment_steps]
+# Usage: scripts/run_config3_traj.sh <outdir> [segment_steps] [krylov_maxiter] [newton_max]
+#
+# The cap product (newton_max x krylov_maxiter) bounds ONE step's device
+# time: on the post-divergence tail of this trajectory (the discrete state
+# blows up around step 20, mirroring the reference's own artifact which
+# diverges at step 2) the default 3x400 dispatch exceeds the worker's
+# per-execution budget and is killed every attempt -- drop to e.g. 2x150
+# to finish the tail.
 set -u
 OUTDIR="${1:-lift_drag_r4}"
 SEG="${2:-6}"
+KMAX="${3:-400}"
+NMAX="${4:-3}"
 CKPT="$OUTDIR/ckpt"
 cd "$(dirname "$0")/.."
 mkdir -p "$OUTDIR"
 
 probe() {
-  python - <<'EOF'
+  # a wedged worker can hang even a tiny matmul's fetch -- bound it
+  timeout 240 python - <<'EOF'
 import jax, jax.numpy as jnp
 x = jnp.ones((128, 128))
 print("probe:", float((x @ x).sum()))
@@ -29,7 +39,7 @@ for attempt in $(seq 1 24); do
   echo "=== segment attempt $attempt ($(date -u +%H:%M:%S)) ==="
   NSTPU_CONFIG3_VERBOSE=1 timeout 3000 python scripts/config3_liftdrag.py \
     --mesh 60,40 --re 1.0 -T 0.31,0.01 --tol 1e-9 \
-    --krylov-maxiter 400 --newton-max 3 \
+    --krylov-maxiter "$KMAX" --newton-max "$NMAX" \
     --outdir "$OUTDIR" --ckpt "$CKPT" --segment-steps "$SEG"
   rc=$?
   if [ $rc -eq 0 ]; then
