@@ -68,6 +68,15 @@ class SolverOptions:
     # x-strips (dist/simplex.py); host-driven and fused paths both run
     # decomposed on either backend.
     dd: Any = None
+    # Newton continuity-rhs sign.  False = reference parity, INCLUDING the
+    # reference's sign inconsistency between its Jacobian's +(q, div du)
+    # row (NSSolver.cpp:461-463) and its rhs's +(q, div u_k) term
+    # (NSSolver.cpp:517-519) that makes the iterate's divergence double on
+    # every accepted full Newton step (the exactly-x2-per-step unsteady
+    # blowup; docs/PERF.md round 4).  True = Jacobian-consistent
+    # -(q, div u_k): Newton contracts the continuity residual and long
+    # unsteady trajectories are stable.
+    consistent_continuity: bool = False
 
 
 class NSSolverBase:
@@ -303,6 +312,7 @@ class NSSolverBase:
                 self.solution_old.u,
                 self._inlet_amp(lifting),
                 stokes=stokes,
+                consistent=self.options.consistent_continuity,
             )
             rn = float(rn)
         return rn

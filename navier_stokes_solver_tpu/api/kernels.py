@@ -43,15 +43,20 @@ __all__ = [
 _SOLVERS = {0: gmres, 1: fgmres, 2: bicgstab}
 
 
-@partial(jax.jit, static_argnames=("stokes",))
-def assemble_kernel(disc, nu, inv_dt, st: Blocks, u_old, inlet_amp, *, stokes):
+@partial(jax.jit, static_argnames=("stokes", "consistent"))
+def assemble_kernel(
+    disc, nu, inv_dt, st: Blocks, u_old, inlet_amp, *, stokes,
+    consistent=False,
+):
     """Residual assembly + norm (the reference's assemble_system + l2_norm,
-    NSSolver.cpp:700-707)."""
+    NSSolver.cpp:700-707).  ``consistent`` flips the Newton continuity rhs
+    to the Jacobian-consistent sign (matfree.py::residual)."""
     ops = _ops_for(disc)
     linq = None if stokes else ops.eval_state(disc, st)
     dF = ops.diag_F(disc, nu, inv_dt, linq, stokes=stokes)
     rhs = ops.residual(
-        disc, nu, inv_dt, st, u_old, dF, stokes=stokes, inlet_amp=inlet_amp
+        disc, nu, inv_dt, st, u_old, dF, stokes=stokes, inlet_amp=inlet_amp,
+        consistent=consistent,
     )
     return rhs, norm(rhs)
 

@@ -238,6 +238,7 @@ class NSSolver(NSSolverBase):
             krylov_maxiter=krylov_maxiter,
             basis=max(1, int(o.krylov_basis)),
             precond_cfg=o.precond_config,
+            consistent=o.consistent_continuity,
         )
         if self.dist_mesh is not None:
             # whole fused step inside shard_map over the device mesh

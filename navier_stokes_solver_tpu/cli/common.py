@@ -129,6 +129,17 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
         "instead of the channel -- an extension beyond the reference "
         "(geometry/cavity.py; Ghia et al. 1982 benchmark geometry)",
     )
+    p.add_argument(
+        "--consistent-continuity",
+        action="store_true",
+        help="assemble the Newton continuity rhs with the "
+        "Jacobian-consistent sign -(q, div u_k).  The reference's rhs "
+        "adds +(q, div u_k) against a +(q, div du) matrix row "
+        "(NSSolver.cpp:461-463 vs :517-519), which makes the iterate's "
+        "divergence DOUBLE on every accepted full Newton step -- the "
+        "x2-per-step blowup of long unsteady trajectories.  Default off "
+        "= reference parity",
+    )
     p.add_argument("--output", action="store_true", help="write VTU snapshots")
     p.add_argument("--output-dir", default=".", metavar="DIR")
     p.add_argument("--quiet", action="store_true")
@@ -162,6 +173,7 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
         write_output=args.output,
         output_dir=args.output_dir,
         profile_dir=args.profile_dir,
+        consistent_continuity=args.consistent_continuity,
     )
     if unsteady:
         ts, dt = _pair(args.timespan_step, float, "timespan-step")

@@ -91,8 +91,11 @@ class DistKernels:
         )
 
     # -- api.kernels surface -------------------------------------------
-    def assemble_kernel(self, sdisc, nu, inv_dt, st, u_old, inlet_amp, *, stokes):
-        key = ("assemble", stokes)
+    def assemble_kernel(
+        self, sdisc, nu, inv_dt, st, u_old, inlet_amp, *, stokes,
+        consistent=False,
+    ):
+        key = ("assemble", stokes, consistent)
         if key not in self._jit_cache:
             ops = self.ops
 
@@ -105,6 +108,7 @@ class DistKernels:
                 rhs = ops.residual(
                     disc, nu, inv_dt, st, u_old, dF,
                     stokes=stokes, inlet_amp=inlet_amp,
+                    consistent=consistent,
                 )
                 dot = ops.make_dot(disc)
                 rn = jnp.sqrt(dot(rhs, rhs))

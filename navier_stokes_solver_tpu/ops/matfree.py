@@ -584,6 +584,7 @@ def residual(
     stokes: bool,
     inlet_amp,
     p_out: float = 1.0,
+    consistent: bool = False,
 ) -> Blocks:
     """Assembled rhs = -R(u_k) after BC application.
 
@@ -596,6 +597,19 @@ def residual(
     ``inlet_amp``: amplitude of the inlet parabola lifted into the Dirichlet
     rows -- U_m on the very first assembly, 0 afterwards (increment
     formulation, NSSolver.cpp:573-580).
+
+    ``consistent``: the reference's Newton-regime continuity rhs has the
+    WRONG RELATIVE SIGN vs its Jacobian: the matrix assembles
+    +(q, div du) (NSSolver.cpp:461-463) while the "-R" rhs *adds*
+    +(q, div u_k) (NSSolver.cpp:517-519, a `+=` where Newton consistency
+    needs `-=`).  The solved update then satisfies div(du) = +div(u_k),
+    so the divergence of the iterate DOUBLES on every accepted full
+    Newton step -- the measured, exactly-x2-per-step antisymmetric blowup
+    of long unsteady trajectories (docs/PERF.md round 4; the reference's
+    own shipped lift/drag artifact diverges by step 3).  ``False`` (the
+    default) keeps reference parity; ``True`` assembles the
+    Jacobian-consistent -(q, div u_k) so Newton actually contracts the
+    continuity residual.
     """
     if stokes:
         ru = p_out * disc.neumann_rhs1
@@ -613,7 +627,7 @@ def residual(
         if disc.forcing_rhs is not None:
             ru = ru + disc.forcing_rhs
         div = linq.gradu[:, 0, 0] + linq.gradu[:, 1, 1]
-        rp = _project_p(disc, div)
+        rp = _project_p(disc, -div if consistent else div)
 
     g = dirichlet_values(disc, inlet_amp)
     ru = jnp.where(disc.u_dirichlet, bc_diag * g, ru)

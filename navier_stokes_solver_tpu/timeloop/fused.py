@@ -136,13 +136,18 @@ def make_time_step(
     inlet_amp: float = 0.3,
     basis: int = 30,
     precond_cfg=None,
+    consistent: bool = False,
 ):
     """Build ``step(state, nu, dt) -> TimeState`` (jit/vmap/shard friendly).
 
     ``inlet_amp``: inlet amplitude U_m lifted into the Dirichlet rows on
     the very first assembly of the run (``apply_first`` semantics,
     NSSolver.cpp:573-580; U_m = 0.3 per NSSolver.hpp:88); afterwards the
-    increment formulation keeps boundary updates at zero."""
+    increment formulation keeps boundary updates at zero.
+
+    ``consistent``: Jacobian-consistent Newton continuity rhs
+    (ops/matfree.py::residual) -- stabilizes long trajectories against the
+    reference's exactly-x2-per-step divergence mode."""
 
     ops = _ops_for(disc)
 
@@ -151,7 +156,8 @@ def make_time_step(
         linq = ops.eval_state(disc, sol)
         dF = ops.diag_F(disc, nu, inv_dt, linq, stokes=False)
         rhs = ops.residual(
-            disc, nu, inv_dt, sol, u_old, dF, stokes=False, inlet_amp=amp
+            disc, nu, inv_dt, sol, u_old, dF, stokes=False, inlet_amp=amp,
+            consistent=consistent,
         )
         return rhs, jnp.sqrt(dot(rhs, rhs))
 

@@ -308,8 +308,12 @@ def dirichlet_values(disc, inlet_amp):
 
 
 def residual(
-    disc, nu, inv_dt, st, u_old, bc_diag, *, stokes, inlet_amp, p_out=1.0
+    disc, nu, inv_dt, st, u_old, bc_diag, *, stokes, inlet_amp, p_out=1.0,
+    consistent=False,
 ):
+    """``consistent``: flip the Newton-regime continuity rhs to the
+    Jacobian-consistent -(q, div u_k); see ops/matfree.py::residual for the
+    reference sign bug (NSSolver.cpp:517-519) this corrects."""
     if stokes:
         ru = p_out * disc.neumann_rhs1
         rp = jnp.zeros((disc.n_nodes_p,), disc.dtype)
@@ -322,7 +326,7 @@ def residual(
         f_grad = -nu * linq.gradu + linq.p[:, None, None, :] * eye[None, :, :, None]
         ru = _project_v(disc, f_val, f_grad) + p_out * disc.neumann_rhs1
         div = linq.gradu[:, 0, 0] + linq.gradu[:, 1, 1]
-        rp = _project_p(disc, div)
+        rp = _project_p(disc, -div if consistent else div)
     g = dirichlet_values(disc, inlet_amp)
     ru = jnp.where(disc.u_dirichlet, bc_diag * g, ru)
     return Blocks(u=ru, p=rp)

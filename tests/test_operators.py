@@ -96,6 +96,53 @@ def test_residual_matches_dense(stokes):
     np.testing.assert_allclose(got, rhs_dense, atol=1e-11)
 
 
+def test_consistent_continuity_matches_newton_derivative():
+    """The reference's Newton continuity rhs has the WRONG relative sign
+    vs its Jacobian (+(q, div du) matrix row, NSSolver.cpp:461-463, against
+    a +(q, div u_k) rhs term, :517-519): solving J d = rhs then yields
+    div(d) = +div(u_k), doubling the iterate's divergence on every accepted
+    full Newton step (the measured exactly-x2-per-step unsteady blowup).
+    With ``consistent=True`` the rhs is the true -R on ALL rows: the
+    directional derivative of rhs along any v equals -(J v) on the pressure
+    rows too.  The pressure rows are linear in u, so one finite difference
+    with eps=1 is exact."""
+    sp, disc, oracle, rand = _setup()
+    uk, pk = rand()
+    u_old, _ = rand()
+    vu, _ = rand()
+    nu, inv_dt = 0.1, 5.0
+    st = Blocks(u=jnp.asarray(uk), p=jnp.asarray(pk))
+    linq = eval_state(disc, st)
+    dF = diag_F(disc, nu, inv_dt, linq, stokes=False)
+    Jv = apply_jacobian(
+        disc, nu, inv_dt, linq, dF,
+        Blocks(u=jnp.asarray(vu), p=jnp.zeros_like(st.p)), stokes=False,
+    )
+
+    def rp(consistent, u):
+        r = residual(
+            disc, nu, inv_dt, Blocks(u=jnp.asarray(u), p=st.p),
+            jnp.asarray(u_old), dF, stokes=False, inlet_amp=0.0,
+            consistent=consistent,
+        )
+        return np.asarray(r.p)
+
+    mask = np.asarray(sp.p_active)
+    d_ref = rp(False, uk + vu) - rp(False, uk)
+    d_con = rp(True, uk + vu) - rp(True, uk)
+    jp = np.asarray(Jv.p)
+    # reference parity: d(rhs_p) = +(J v)_p -- the inconsistency
+    np.testing.assert_allclose(d_ref[mask], jp[mask], atol=1e-11)
+    # consistent: d(rhs_p) = -(J v)_p -- true Newton
+    np.testing.assert_allclose(d_con[mask], -jp[mask], atol=1e-11)
+    # velocity rows are untouched by the flag
+    r_ref = residual(disc, nu, inv_dt, st, jnp.asarray(u_old), dF,
+                     stokes=False, inlet_amp=0.0, consistent=False)
+    r_con = residual(disc, nu, inv_dt, st, jnp.asarray(u_old), dF,
+                     stokes=False, inlet_amp=0.0, consistent=True)
+    np.testing.assert_allclose(np.asarray(r_ref.u), np.asarray(r_con.u))
+
+
 def test_diag_matches_dense():
     sp, disc, oracle, rand = _setup()
     uk, pk = rand()

@@ -114,6 +114,21 @@ def test_jacobian_matches_residual_differencing():
     )
     np.testing.assert_allclose(np.asarray(Jdv.p), fd_p, rtol=2e-5, atol=2e-5)
 
+    # consistent=True restores true Newton: J dv = -d(rhs)/du on ALL rows
+    # (the reference's +div rhs row makes the divergence double per
+    # accepted Newton step; see ops/matfree.py::residual)
+    def neg_res_c(st):
+        return uops.residual(
+            disc, nu, inv_dt, st, u_old, dF, stokes=False, inlet_amp=0.0,
+            consistent=True,
+        )
+
+    r0c = neg_res_c(u0)
+    r1c = neg_res_c(Blocks(u=u0.u + eps * dv.u, p=u0.p + eps * dv.p))
+    fd_pc = (np.asarray(r0c.p) - np.asarray(r1c.p)) / eps
+    np.testing.assert_allclose(np.asarray(Jdv.p), fd_pc, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r0c.u), np.asarray(r0.u))
+
 
 def test_simplex_solver_matches_structured_drag():
     """Coarse-mesh stationary solve: the simplex backend's drag coefficient
