@@ -58,6 +58,11 @@ def main(argv=None):
                     "after this many steps this process -- keeps each TPU "
                     "client session short; relaunch to continue")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--consistent", action="store_true",
+                    help="Jacobian-consistent Newton continuity rhs "
+                    "(SolverOptions.consistent_continuity): stabilizes "
+                    "the trajectory against the reference's x2-per-step "
+                    "divergence mode (docs/PERF.md round 4)")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("NSTPU_CACHE_DIR", "/tmp/nstpu_jax_cache")
@@ -79,6 +84,7 @@ def main(argv=None):
         preconditioner_type=args.prec, time_span=span, time_step=dt,
         verbose=bool(os.environ.get("NSTPU_CONFIG3_VERBOSE")),
         output_dir=args.outdir,
+        consistent_continuity=args.consistent,
     )
     s = NSSolver(opts)
     s.setup()
@@ -129,7 +135,8 @@ def main(argv=None):
 
     print(json.dumps({
         "metric": f"config3_{mx}x{my}_re{args.re}_"
-        f"{'host' if args.host else 'fused'}",
+        f"{'host' if args.host else 'fused'}"
+        f"{'_consistent' if args.consistent else ''}",
         "value": round(wall, 2),
         "unit": "s",
         "extra": {

@@ -9,7 +9,7 @@
 # round-4) -- and survives worker faults by waiting, probing with a tiny
 # matmul, and resuming from the checkpoint.
 #
-# Usage: scripts/run_config3_traj.sh <outdir> [segment_steps] [krylov_maxiter] [newton_max]
+# Usage: scripts/run_config3_traj.sh <outdir> [segment_steps] [krylov_maxiter] [newton_max] [extra flags...]
 #
 # The cap product (newton_max x krylov_maxiter) bounds ONE step's device
 # time: on the post-divergence tail of this trajectory (the discrete state
@@ -22,6 +22,8 @@ OUTDIR="${1:-lift_drag_r4}"
 SEG="${2:-6}"
 KMAX="${3:-400}"
 NMAX="${4:-3}"
+shift $(( $# > 4 ? 4 : $# ))
+EXTRA=("$@")
 CKPT="$OUTDIR/ckpt"
 cd "$(dirname "$0")/.."
 mkdir -p "$OUTDIR"
@@ -40,7 +42,7 @@ for attempt in $(seq 1 24); do
   NSTPU_CONFIG3_VERBOSE=1 timeout 3000 python scripts/config3_liftdrag.py \
     --mesh 60,40 --re 1.0 -T 0.31,0.01 --tol 1e-9 \
     --krylov-maxiter "$KMAX" --newton-max "$NMAX" \
-    --outdir "$OUTDIR" --ckpt "$CKPT" --segment-steps "$SEG"
+    --outdir "$OUTDIR" --ckpt "$CKPT" --segment-steps "$SEG" "${EXTRA[@]}"
   rc=$?
   if [ $rc -eq 0 ]; then
     echo "=== trajectory complete ==="
