@@ -48,6 +48,14 @@ def main():
         # iterations and 60 -> 45 s wall.  Fields are identical (same
         # operator, same tolerance); SolverOptions default stays 30.
         krylov_basis=60,
+        # Skip the reference's futile repeat Stokes-regime solves: the
+        # Stokes rhs is state-independent, so after the first accepted
+        # Stokes solution every further Stokes-regime tangent solve is
+        # rejected by the strict-< line search (32x12 A/B: 340 -> 224
+        # outers, 11 -> 3 tangent solves, fields to 2e-9; docs/PERF.md
+        # round 4).  NSTPU_BENCH_NO_SKIP=1 restores the
+        # reference-faithful waste.
+        skip_futile_stokes=not os.environ.get("NSTPU_BENCH_NO_SKIP"),
         # GMRES-IR: f32 outer restart cycles with f64 restart residuals
         # and solution accumulation (krylov/solvers.py::LowCycle) -- same
         # absolute tolerance, automatic host fallback to f64 cycles on

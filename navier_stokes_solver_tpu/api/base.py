@@ -68,6 +68,17 @@ class SolverOptions:
     # x-strips (dist/simplex.py); host-driven and fused paths both run
     # decomposed on either backend.
     dd: Any = None
+    # Stationary continuation: skip the reference's repeat Stokes-regime
+    # tangent solves.  The Stokes-regime rhs is state-independent
+    # (NSSolverStationary.cpp:472-475 skips the i-loop), so from Newton
+    # iteration 1 on, the solved update CANNOT change ||r|| and the
+    # strict-< line search (NSSolverStationary.cpp:733) always rejects it
+    # -- the reference performs a full-size futile solve (~30-35% of the
+    # bench's outer iterations) whose only state effect is a 1e-12-scaled
+    # leftover from the rejected line search's last trial.  True breaks
+    # out of the Newton loop instead.  Final fields agree to ~1e-12 of
+    # the rejected direction; iteration counts drop accordingly.
+    skip_futile_stokes: bool = False
     # Newton continuity-rhs sign.  False = reference parity, INCLUDING the
     # reference's sign inconsistency between its Jacobian's +(q, div du)
     # row (NSSolver.cpp:461-463) and its rhs's +(q, div u_k) term

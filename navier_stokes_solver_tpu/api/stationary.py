@@ -60,6 +60,7 @@ class NSSolverStationary(NSSolverBase):
         target_Re = self.Re
         global_first_iter = True
         computing_stokes = True
+        stokes_accepted = False  # skip_futile_stokes bookkeeping
         self.log(f"Target Re = {target_Re}")
 
         current_Re = 10.0
@@ -109,6 +110,27 @@ class NSSolverStationary(NSSolverBase):
                         f" - ||r|| = {residual_norm:.6e}"
                     )
 
+                    if (
+                        stokes_now
+                        and self.options.skip_futile_stokes
+                        and (n_iter >= 1 or stokes_accepted)
+                    ):
+                        # The Stokes-regime rhs is state-independent, so
+                        # once one Stokes solution has been accepted every
+                        # further Stokes-regime solve at this nu is futile:
+                        # repeat solves within a level are always rejected
+                        # by the strict-< line search (NSSolverStationary
+                        # .cpp:733), and later inlet levels re-derive the
+                        # same zero-BC tangent (SolverOptions
+                        # .skip_futile_stokes).
+                        self.log("  [skip] repeated Stokes solve (state-"
+                                 "independent rhs; update always rejected)")
+                        self.history.append(
+                            dict(phase="stokes_skipped", nu=self.nu,
+                                 n_iter=n_iter)
+                        )
+                        break
+
                     if residual_norm > self.NEWTON_TOL:
                         krylov_iter = self.solve_system(stokes_now, lifting=False)
                         self.history.append(
@@ -141,6 +163,8 @@ class NSSolverStationary(NSSolverBase):
                                 break
                             alpha *= 0.1
                         prev_residual = residual_norm
+                        if stokes_now:
+                            stokes_accepted = True
                     else:
                         self.log(" < tolerance")
                         self.output()

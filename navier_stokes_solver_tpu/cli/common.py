@@ -130,6 +130,15 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
         "(geometry/cavity.py; Ghia et al. 1982 benchmark geometry)",
     )
     p.add_argument(
+        "--skip-futile-stokes",
+        action="store_true",
+        help="stationary: skip the reference's repeat Stokes-regime "
+        "tangent solves (state-independent rhs; every update after the "
+        "first accepted Stokes solution is rejected by the strict-< "
+        "line search).  ~34%% fewer outer iterations at 32x12; fields "
+        "agree to ~1e-9.  Default off = reference parity",
+    )
+    p.add_argument(
         "--consistent-continuity",
         action="store_true",
         help="assemble the Newton continuity rhs with the "
@@ -174,6 +183,7 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
         output_dir=args.output_dir,
         profile_dir=args.profile_dir,
         consistent_continuity=args.consistent_continuity,
+        skip_futile_stokes=args.skip_futile_stokes,
     )
     if unsteady:
         ts, dt = _pair(args.timespan_step, float, "timespan-step")

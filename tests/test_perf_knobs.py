@@ -45,6 +45,25 @@ def test_restart_basis_invariance():
     assert itb <= ita
 
 
+def test_skip_futile_stokes_invariance():
+    """Skipping the reference's repeat Stokes-regime solves (state-
+    independent rhs; updates always rejected by the strict-< line search)
+    must reproduce the reference fields while skipping at least one full
+    solve and never increasing total outer iterations."""
+    a = _solve()
+    b = _solve(skip_futile_stokes=True)
+    ua, pa = a.fields()
+    ub, pb = b.fields()
+    np.testing.assert_allclose(ub, ua, atol=1e-8)
+    np.testing.assert_allclose(pb, pa, atol=1e-7)
+    np.testing.assert_allclose(b.drag_force, a.drag_force, rtol=1e-6)
+    skipped = [h for h in b.history if h.get("phase") == "stokes_skipped"]
+    assert skipped, "expected at least one skipped Stokes solve"
+    ita = sum(h.get("krylov_iters", 0) for h in a.history)
+    itb = sum(h.get("krylov_iters", 0) for h in b.history)
+    assert itb < ita
+
+
 def test_inner_tolerance_invariance():
     a = _solve()
     b = _solve(precond_config=PrecondConfig(tri_rel_u=1e-4, tri_rel_p=1e-4))
