@@ -147,7 +147,9 @@ def main():
     solver.compute_drag_coeff()
     solver.compute_lift_coeff()
 
-    total_krylov = sum(h["krylov_iters"] for h in solver.history)
+    total_krylov = sum(
+        h["krylov_iters"] for h in solver.history if "krylov_iters" in h
+    )
     n_dofs = solver.space.n_dofs
     result = {
         "metric": "stationary_solve_wallclock_100x70_Q3Q2_FGMRES_blockTriangular_tol1e-12_Re100",

@@ -74,6 +74,7 @@ def run_unsteady(args):
         krylov_maxiter=args.krylov_maxiter,
         basis=args.basis,
         precond_cfg=cfg,
+        consistent=args.consistent,
     )
     ts = initial_state(disc)
 
@@ -133,6 +134,7 @@ def run_unsteady(args):
         "metric": (
             f"unsteady_per_step_wallclock_{mx}x{my}_Q3Q2_Re{args.re:g}_fused"
             + (f"_dt{args.dt:g}" if args.dt != 0.01 else "")
+            + ("_consistent" if args.consistent else "")
         ),
         "value": round(median, 3),
         "unit": "s/step",
@@ -255,6 +257,10 @@ def main(argv=None):
                     help="Stokes-regime-only blockTriangular/aSIMPLE inner "
                     "relative tolerance override (h-flat Stokes outer "
                     "counts at 1e-4; PrecondConfig.tri_rel_*_stokes)")
+    ap.add_argument("--consistent", action="store_true",
+                    help="Jacobian-consistent Newton continuity rhs "
+                    "(stabilizes trajectories against the reference's "
+                    "x2-per-step mode; docs/PERF.md round 4)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     out = run_unsteady(args) if args.which == "unsteady" else run_stationary(args)
