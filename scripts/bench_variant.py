@@ -48,6 +48,12 @@ def main(argv=None):
                     help="velocity,pressure degrees (reference generated-"
                     "mesh default 3,2; -M parity 2,1)")
     ap.add_argument(
+        "--skip-futile", action="store_true",
+        help="elide the reference's futile repeat Stokes-regime tangent "
+        "solves (SolverOptions.skip_futile_stokes; bench.py's tuned "
+        "branch default)",
+    )
+    ap.add_argument(
         "--warmup", action="store_true",
         help="absorb the one-time per-process worker session stall "
         "(tiny matmul + one un-timed assemble) before the timed solve, "
@@ -93,6 +99,7 @@ def main(argv=None):
         preconditioner_type=args.prec,
         verbose=bool(os.environ.get("NSTPU_VARIANT_VERBOSE")),
         krylov_basis=args.basis, precond_config=cfg,
+        skip_futile_stokes=args.skip_futile,
     )
     if args.warmup:
         # absorb the per-process worker session stall + executable loads
@@ -124,7 +131,8 @@ def main(argv=None):
                 f"_b{args.basis}"
                 f"_ir{args.ir}_trelu{args.tri_rel_u}_trelp{args.tri_rel_p}"
                 f"_schur{args.schur}_ss{args.stokes_schur}"
-                f"_im{args.inner_mode}",
+                f"_im{args.inner_mode}"
+                + ("_skipfutile" if args.skip_futile else ""),
                 "value": round(wall, 2),
                 "unit": "s",
                 "extra": {
