@@ -79,6 +79,15 @@ class SolverOptions:
     # out of the Newton loop instead.  Final fields agree to ~1e-12 of
     # the rejected direction; iteration counts drop accordingly.
     skip_futile_stokes: bool = False
+    # -M simplex backend: attach dense f32 inverses of the pressure mass
+    # and pressure Laplacian so the blockDiagonal/blockTriangular Schur
+    # legs run as single MXU matmuls instead of nested Jacobi-CG/FGMRES
+    # solves (unstructured/dense.py; auto-skipped above
+    # NSTPU_DENSE_SCHUR_MAX pressure nodes or under dd).  Equivalence
+    # layer: the exact solve is strictly stronger than the reference's
+    # ILU-CG inners (NSSolver.hpp:228-236).  NSTPU_DENSE_SCHUR=0/1
+    # overrides.
+    dense_schur: bool = True
     # Newton continuity-rhs sign.  False = reference parity, INCLUDING the
     # reference's sign inconsistency between its Jacobian's +(q, div du)
     # row (NSSolver.cpp:461-463) and its rhs's +(q, div u_k) term
@@ -171,6 +180,18 @@ class NSSolverBase:
                 # P2 -> P1 p-multigrid on the velocity block (the simplex
                 # analog of the structured geometric-MG equivalence layer)
                 self.disc = self.disc.replace(p_mg=True)
+            env_ds = os.environ.get("NSTPU_DENSE_SCHUR")
+            if (o.dense_schur if env_ds is None else env_ds != "0") and (
+                o.dd is None
+            ):
+                # pressure-Schur legs as dense-inverse matmuls (the small
+                # P1 pressure space makes the exact solve one MXU pass;
+                # unstructured/dense.py)
+                from navier_stokes_solver_tpu.unstructured.dense import (
+                    attach_dense_schur,
+                )
+
+                self.disc = attach_dense_schur(self.disc)
             n_el = self.disc.n_tri
             n_dofs_v = 2 * self.disc.n_nodes_v
             n_dofs_p = self.disc.n_nodes_p
@@ -227,11 +248,20 @@ class NSSolverBase:
         # compiled programs stay valid when the chain layout changes)
         from navier_stokes_solver_tpu.ops.disc import Disc as _StructDisc
 
-        self.disc_nomg = (
-            self.disc.replace(mg=None)
-            if isinstance(self.disc, _StructDisc) and self.disc.mg is not None
-            else self.disc
-        )
+        if isinstance(self.disc, _StructDisc):
+            self.disc_nomg = (
+                self.disc.replace(mg=None)
+                if self.disc.mg is not None
+                else self.disc
+            )
+        elif getattr(self.disc, "dense_lp_inv", None) is not None:
+            # assembly / lift-drag never touch the dense Schur inverses:
+            # keep the (large) matrices out of their kernel inputs
+            self.disc_nomg = self.disc.replace(
+                dense_mp_raw_inv=None, dense_lp_inv=None
+            )
+        else:
+            self.disc_nomg = self.disc
         self._is_setup = True
         self.setup_seconds = _time.perf_counter() - t0
         return self

@@ -299,7 +299,12 @@ def _fixed_F_solver(ctx: LinearContext, cfg: PrecondConfig, mf):
 
 
 def _fixed_Mp_solver(ctx: LinearContext, cfg: PrecondConfig):
-    """Chebyshev-Jacobi sweeps on the (well-conditioned) pressure mass."""
+    """Chebyshev-Jacobi sweeps on the (well-conditioned) pressure mass,
+    or the exact dense inverse when attached (simplex backend)."""
+    dense_mp = getattr(ctx.disc, "dense_mp_raw_inv", None)
+    if dense_mp is not None:
+        raw_inv = _dense_matvec(dense_mp)
+        return lambda rhs: ctx.nu * raw_inv(rhs)
     from navier_stokes_solver_tpu.precond.mg import _chebyshev, _estimate_lmax
 
     dinv = 1.0 / ctx.ops.diag_Mp(ctx.disc, ctx.nu)
@@ -338,10 +343,31 @@ def _lp_has_vcycle(ctx: LinearContext) -> bool:
     return getattr(disc, "mg", None) is not None and disc.mg.Ppx is not None
 
 
+def _dense_matvec(mat):
+    """Apply a stored f32 dense inverse: the matmul runs f32 on the MXU
+    regardless of the context dtype (the leg is a preconditioner; f32
+    "exactness" is ample to steer the outer iteration)."""
+
+    def apply(r):
+        return (mat @ r.astype(mat.dtype)).astype(r.dtype)
+
+    return apply
+
+
+def _lp_is_exact(ctx: LinearContext) -> bool:
+    """True when the disc carries the dense Lp inverse (the -M simplex
+    backend below DENSE_SCHUR_MAX_NP, unstructured/dense.py): one
+    application of the Lp preconditioner IS the solve."""
+    return getattr(ctx.disc, "dense_lp_inv", None) is not None
+
+
 def _lp_preconditioner(ctx: LinearContext, cfg: PrecondConfig):
-    """V-cycle on the pressure Laplacian when the MG chain carries pressure
+    """Dense inverse matmul when attached (simplex backend), else a
+    V-cycle on the pressure Laplacian when the MG chain carries pressure
     transfers, Jacobi otherwise.  ``ctx`` is already in the vmult dtype."""
     disc = ctx.disc
+    if _lp_is_exact(ctx):
+        return _dense_matvec(disc.dense_lp_inv)
     if _lp_has_vcycle(ctx):
         from navier_stokes_solver_tpu.precond.mg import make_lp_vcycle
 
@@ -363,12 +389,23 @@ def _make_p_solver(ctx: LinearContext, cfg: PrecondConfig):
     mp = ctx.jacobi_Mp()
     dot = ctx.dot()
 
-    def solve_mass(rhs, tol):
-        dp, _ = cg(
-            ctx.Mp, rhs, jnp.zeros_like(rhs), tol=tol,
-            maxiter=cfg.inner_maxiter, M=mp, dot=dot,
-        )
-        return dp
+    dense_mp = getattr(ctx.disc, "dense_mp_raw_inv", None)
+    if dense_mp is not None:
+        # exact mass solve as one MXU matmul: apply_Mp = Mp_raw / nu, so
+        # Mp^-1 rhs = nu * Mp_raw^-1 rhs (unstructured/dense.py)
+        mp_raw_inv = _dense_matvec(dense_mp)
+
+        def solve_mass(rhs, tol):
+            return ctx.nu * mp_raw_inv(rhs)
+
+    else:
+
+        def solve_mass(rhs, tol):
+            dp, _ = cg(
+                ctx.Mp, rhs, jnp.zeros_like(rhs), tol=tol,
+                maxiter=cfg.inner_maxiter, M=mp, dot=dot,
+            )
+            return dp
 
     mode = _schur_mode(ctx, cfg)
     if mode == "mass":
@@ -380,11 +417,16 @@ def _make_p_solver(ctx: LinearContext, cfg: PrecondConfig):
     cycles = getattr(cfg, "cc_lp_cycles", None)
     # ``cc_lp_cycles`` replaces the nested Lp solve with N applications of
     # the Lp *preconditioner* -- a near-free trade when that preconditioner
-    # is a V-cycle (docs/PERF.md), but catastrophic when it is point Jacobi
-    # (the -M simplex backend): one Jacobi sweep scaled by inv_dt makes the
-    # Schur leg worse than no leg at all (measured: 25-30 -> 500-2000
-    # outers/solve on the 60x40 Re-ramp).  Honor it only with a V-cycle.
-    if cycles is not None and not _lp_has_vcycle(ctx):
+    # is a V-cycle (docs/PERF.md) or the dense exact inverse, but
+    # catastrophic when it is point Jacobi (the pre-dense -M simplex
+    # backend): one Jacobi sweep scaled by inv_dt makes the Schur leg
+    # worse than no leg at all (measured: 25-30 -> 500-2000 outers/solve
+    # on the 60x40 Re-ramp).  Honor it only with a V-cycle/exact inverse.
+    if _lp_is_exact(ctx):
+        # one application of the exact inverse IS the solve: skip the
+        # nested FGMRES wrapper entirely
+        cycles = 1
+    elif cycles is not None and not _lp_has_vcycle(ctx):
         cycles = None
 
     if cycles is not None:
@@ -440,7 +482,7 @@ def _fixed_p_solver(ctx: LinearContext, cfg: PrecondConfig):
     if mode == "mass":
         return base
     mlp = _lp_preconditioner(ctx, cfg)
-    if not _lp_has_vcycle(ctx):
+    if not (_lp_has_vcycle(ctx) or _lp_is_exact(ctx)):
         # No pressure V-cycle (the -M simplex backend): a single Jacobi
         # application is far too weak for the inv_dt-scaled Lp leg (see
         # _make_p_solver).  Chebyshev-Jacobi sweeps are the best fixed-cost

@@ -4,6 +4,12 @@ from navier_stokes_solver_tpu.unstructured.tri import (
     SimplexDisc,
     make_simplex_disc,
     triangulate_channel,
+    triangulate_channel_curved,
 )
 
-__all__ = ["SimplexDisc", "make_simplex_disc", "triangulate_channel"]
+__all__ = [
+    "SimplexDisc",
+    "make_simplex_disc",
+    "triangulate_channel",
+    "triangulate_channel_curved",
+]

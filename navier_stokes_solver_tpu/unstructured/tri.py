@@ -37,6 +37,7 @@ __all__ = [
     "invert_scatter",
     "make_simplex_disc",
     "triangulate_channel",
+    "triangulate_channel_curved",
 ]
 
 _DIRICHLET_IDS = (6, 7, 10)
@@ -115,6 +116,12 @@ class SimplexDisc:
     pmg_edge: jax.Array | None = None  # [n_nodes_v, 2] int32
     pmg_vert_v: jax.Array | None = None  # [n_nodes_p] int32
     pmg_mid: jax.Array | None = None  # [n_nodes_p, K] int32
+    # dense f32 inverses of the (constant per-mesh) pressure mass and
+    # pressure Laplacian -- the Schur legs as single MXU matmuls instead
+    # of nested Jacobi-CG/FGMRES solves (unstructured/dense.py; None =
+    # iterative legs).  Attached by ``attach_dense_schur``.
+    dense_mp_raw_inv: jax.Array | None = None
+    dense_lp_inv: jax.Array | None = None
     # enable the P1-coarse velocity preconditioner (the simplex analog of
     # the structured geometric-MG ILU/AMG equivalence layer)
     p_mg: bool = struct.field(pytree_node=False, default=False)
@@ -200,6 +207,74 @@ def triangulate_channel(geo: ChannelGeometry):
         np.asarray(edges, dtype=np.int32).reshape(-1, 2),
         np.asarray(edge_tag, dtype=np.int32),
     )
+
+
+def triangulate_channel_curved(
+    nx: int,
+    ny: int,
+    *,
+    cx: float = 0.2,
+    cy: float = 0.2,
+    r: float = 0.05,
+    L: float = 2.2,
+    H: float = 0.41,
+):
+    """Curved-cylinder channel triangulation (the gmsh-geometry analog).
+
+    The reference generates its ``-M`` meshes from an OpenCASCADE
+    rectangle-minus-circle geometry (2dMeshFine.geo:1-55: 2.2 x 0.41
+    channel, circle r=0.05 at (0.2, 0.2), physical ids 7 inlet / 8
+    outlet / 6 wall / 10 cylinder) via ``gmsh -2 -format msh2``
+    (generate_mesh.py).  gmsh's linear triangles approximate the circle
+    by a polygon whose vertices lie exactly on it; this function builds
+    the same class of mesh without gmsh: background grid points (those
+    within ~0.7 h of the circle removed), ring points exactly on the
+    circle at ~h spacing, Delaunay triangulation, triangles whose
+    centroid falls inside the circle dropped.  Returns
+    (nodes_xy, tri, edges, edge_tag) in ``io.read_msh`` layout.
+    """
+    from scipy.spatial import Delaunay
+
+    xs = np.linspace(0.0, L, nx + 1)
+    ys = np.linspace(0.0, H, ny + 1)
+    X, Y = np.meshgrid(xs, ys)
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    h = min(L / nx, H / ny)
+    d = np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
+    pts = pts[d > r + 0.7 * h]
+    n_ring = max(12, int(np.ceil(2.0 * np.pi * r / h)))
+    th = 2.0 * np.pi * np.arange(n_ring) / n_ring
+    ring = np.stack([cx + r * np.cos(th), cy + r * np.sin(th)], axis=1)
+    nodes = np.concatenate([pts, ring])
+    tri = Delaunay(nodes).simplices.astype(np.int32)
+    cent = nodes[tri].mean(axis=1)
+    tri = tri[np.hypot(cent[:, 0] - cx, cent[:, 1] - cy) >= r]
+
+    # boundary edges = edges referenced by exactly one remaining triangle
+    pairs = np.sort(
+        np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]]),
+        axis=1,
+    )
+    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    bedges = uniq[counts == 1]
+
+    def _tag(e):
+        a, b = nodes[e[0]], nodes[e[1]]
+        tol = 1e-9
+        if abs(a[0]) < tol and abs(b[0]) < tol:
+            return BOUNDARY_INLET
+        if abs(a[0] - L) < tol and abs(b[0] - L) < tol:
+            return BOUNDARY_OUTLET
+        on_circle = (
+            abs(np.hypot(*(a - [cx, cy])) - r) < 1e-9
+            and abs(np.hypot(*(b - [cx, cy])) - r) < 1e-9
+        )
+        if on_circle:
+            return BOUNDARY_CYLINDER
+        return 6  # walls (y = 0 / y = H)
+
+    btags = np.asarray([_tag(e) for e in bedges], dtype=np.int32)
+    return nodes, tri, bedges.astype(np.int32), btags
 
 
 def invert_scatter(idx: np.ndarray, n_nodes: int) -> np.ndarray:

@@ -34,6 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", default="60,40")
+    ap.add_argument("--mesh-file", default=None,
+                    help="gmsh .msh file (the reference's real -M path, "
+                    "test.cpp:147 hardcodes ../mesh/new_mesh.msh); "
+                    "overrides --mesh's internal triangulation")
     ap.add_argument("--re", type=float, default=1.0)
     ap.add_argument("-T", "--time", default="0.31,0.01")
     ap.add_argument("--tol", type=float, default=1e-9)
@@ -58,6 +62,14 @@ def main(argv=None):
                     "after this many steps this process -- keeps each TPU "
                     "client session short; relaunch to continue")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--schur", choices=("mass", "cahouet", "pcd"),
+                    default="mass",
+                    help="Schur treatment (PrecondConfig.schur_mode); "
+                    "'cahouet' is the h/dt-robust unsteady choice")
+    ap.add_argument("--lp-cycles", type=int, default=None,
+                    help="PrecondConfig.cc_lp_cycles: replace the nested "
+                    "Lp solve of the cahouet/pcd leg with N "
+                    "residual-corrected cycles")
     ap.add_argument("--consistent", action="store_true",
                     help="Jacobian-consistent Newton continuity rhs "
                     "(SolverOptions.consistent_continuity): stabilizes "
@@ -78,13 +90,23 @@ def main(argv=None):
 
     mx, my = (int(v) for v in args.mesh.split(","))
     span, dt = (float(v) for v in args.time.split(","))
+    precond_cfg = None
+    if args.schur != "mass" or args.lp_cycles is not None:
+        from navier_stokes_solver_tpu.precond import PrecondConfig
+
+        kw = {"schur_mode": args.schur}
+        if args.lp_cycles is not None:
+            kw["cc_lp_cycles"] = args.lp_cycles
+        precond_cfg = PrecondConfig(**kw)
     opts = SolverOptions(
         mesh_size=(mx, my), read_mesh_from_file=True,
+        mesh_file_name=args.mesh_file or "",
         Re=args.re, solver_type=args.solver, tolerance=args.tol,
         preconditioner_type=args.prec, time_span=span, time_step=dt,
         verbose=bool(os.environ.get("NSTPU_CONFIG3_VERBOSE")),
         output_dir=args.outdir,
         consistent_continuity=args.consistent,
+        precond_config=precond_cfg,
     )
     s = NSSolver(opts)
     s.setup()
@@ -133,14 +155,22 @@ def main(argv=None):
         s.compute_lift_coeff()
         s.write_lift_drag_to_file(args.outdir)
 
+    mesh_tag = (
+        os.path.splitext(os.path.basename(args.mesh_file))[0]
+        if args.mesh_file
+        else f"{mx}x{my}"
+    )
     print(json.dumps({
-        "metric": f"config3_{mx}x{my}_re{args.re}_"
+        "metric": f"config3_{mesh_tag}_re{args.re}_"
         f"{'host' if args.host else 'fused'}"
         f"{'_consistent' if args.consistent else ''}",
         "value": round(wall, 2),
         "unit": "s",
         "extra": {
             "n_steps": n_steps,
+            "n_dofs": s.n_dofs,
+            "schur": args.schur,
+            "lp_cycles": args.lp_cycles,
             "segment_walls_s": [round(w, 2) for w in seg_walls],
             "s_per_step": round(wall / max(1, n_steps), 3),
             "tol": args.tol,

@@ -69,7 +69,10 @@ def main(argv=None):
 
     orig = unsteady_mod.NSSolver.solve_newton
 
-    def legacy_solve_newton(self):
+    def legacy_solve_newton(self, *, ramp=True):
+        # ``ramp`` mirrors NSSolver.solve_newton's signature (direct mode,
+        # api/unsteady.py); the legacy reproduction always ramps.
+        del ramp
         target = self.Re
         self.Re = target  # ramp below
         # replicate solve_newton with ramp start 10

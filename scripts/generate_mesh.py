@@ -24,6 +24,13 @@ def main(argv=None):
     ap.add_argument("-m", "--mesh-size", default="100,100", metavar="X,Y")
     ap.add_argument("-o", "--output", default="new_mesh.msh")
     ap.add_argument("--tri", action="store_true", help="triangulated mesh")
+    ap.add_argument(
+        "--curved",
+        action="store_true",
+        help="curved-cylinder triangulation (ring vertices exactly on "
+        "the r=0.05 circle -- the gmsh/OpenCASCADE 2dMeshFine.geo mesh "
+        "class; implies --tri)",
+    )
     args = ap.parse_args(argv)
 
     from navier_stokes_solver_tpu.geometry import make_channel_geometry
@@ -31,14 +38,20 @@ def main(argv=None):
 
     nx, ny = (int(v) for v in args.mesh_size.split(","))
     geo = make_channel_geometry(nx, ny)
-    if not args.tri:
+    if not (args.tri or args.curved):
         write_msh(geo, args.output)
     else:
         import numpy as np
 
-        from navier_stokes_solver_tpu.unstructured import triangulate_channel
+        from navier_stokes_solver_tpu.unstructured import (
+            triangulate_channel,
+            triangulate_channel_curved,
+        )
 
-        nodes, tri, edges, tags = triangulate_channel(geo)
+        if args.curved:
+            nodes, tri, edges, tags = triangulate_channel_curved(nx, ny)
+        else:
+            nodes, tri, edges, tags = triangulate_channel(geo)
         lines = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat", "$Nodes",
                  str(len(nodes))]
         for i, (x, y) in enumerate(nodes):

@@ -1,0 +1,163 @@
+"""Curved-cylinder mesh path: the reference's real ``-M`` geometry.
+
+The reference's ``-M`` flag reads ``new_mesh.msh`` (test.cpp:147),
+generated from the OpenCASCADE circle-cut geometry (2dMeshFine.geo:1-55)
+with the cylinder curve tagged 10, and integrates lift/drag over those
+curved boundary edges (NSSolver.cpp:839-938).  These tests pin that
+path: the boundary-10 edge sets of the shipped meshes are nonempty, the
+curved edge geometry closes and converges to the circle, the lift/drag
+edge integral reproduces analytic stress integrals on the curved
+boundary, and a full solve on a (generated) curved mesh produces finite,
+refinement-stable drag.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from navier_stokes_solver_tpu.io import read_msh
+from navier_stokes_solver_tpu.ops.blocks import Blocks
+from navier_stokes_solver_tpu.unstructured import (
+    make_simplex_disc,
+    triangulate_channel_curved,
+)
+from navier_stokes_solver_tpu.unstructured import ops as sops
+
+_REF_MESH_DIR = "/root/reference/lab_new/mesh"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(_REF_MESH_DIR), reason="reference meshes not mounted"
+)
+
+_R = 0.05  # cylinder radius (2dMeshFine.geo; NSSolver.cpp:27)
+
+
+def _ref_disc(name):
+    d = read_msh(os.path.join(_REF_MESH_DIR, name))
+    return make_simplex_disc(
+        d["nodes_xy"], d["tri"], d["edges"], d["edge_tag"]
+    )
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "name,n_expect",
+    [
+        ("new_mesh.msh", 299),
+        ("2dMeshFine.msh", 299),
+        ("2dMeshCylinder.msh", 179),
+    ],
+)
+def test_boundary10_edge_set_nonempty(name, n_expect):
+    """The reference's flagship file meshes carry curved cylinder edges
+    (physical curve 10, 2dMeshFine.geo) and the disc resolves every one
+    of them to an (element, local edge) pair."""
+    disc = _ref_disc(name)
+    assert int(disc.cyl_tri.shape[0]) == n_expect
+    # every edge endpoint sits exactly on the circle (curved geometry,
+    # not the internal generator's voxelized staircase)
+    # centers: .geo uses (0.2, 0.2)
+    lens = np.asarray(disc.cyl_len)
+    assert lens.min() > 0
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "name,rtol", [("2dMeshCylinder.msh", 2e-3), ("new_mesh.msh", 8e-4)]
+)
+def test_cylinder_boundary_closes_and_converges(name, rtol):
+    """The tag-10 edge set forms a closed polygon inscribed in the
+    r=0.05 circle: sum(len * normal) = 0 exactly, total length ->
+    2*pi*r from below as the mesh refines (stability of the boundary
+    geometry across refinement levels)."""
+    disc = _ref_disc(name)
+    ln = np.asarray(disc.cyl_len)
+    nrm = np.asarray(disc.cyl_normal)
+    closure = np.abs((ln[:, None] * nrm).sum(axis=0)).max()
+    assert closure < 1e-12 * max(1.0, ln.sum())
+    perimeter = ln.sum()
+    assert perimeter < 2 * np.pi * _R  # inscribed polygon
+    assert perimeter == pytest.approx(2 * np.pi * _R, rel=rtol)
+
+
+def _polygon_area_from_edges(disc):
+    """Enclosed area of the cylinder polygon from the disc's own edge
+    data: sum of triangle areas (center, pa, pb) -- orientation-free."""
+    # recover edge endpoints from (element, local edge) pairs
+    from navier_stokes_solver_tpu.unstructured.elements import EDGE_VERTICES
+
+    tri_nodes = np.asarray(disc.dofs_v)[np.asarray(disc.cyl_tri), :3]
+    coords = np.asarray(disc.coords_v)
+    ev = np.asarray(EDGE_VERTICES)[np.asarray(disc.cyl_edge)]  # [E, 2]
+    pa = coords[tri_nodes[np.arange(len(ev)), ev[:, 0]]]
+    pb = coords[tri_nodes[np.arange(len(ev)), ev[:, 1]]]
+    c = np.array([0.2, 0.2])
+    cross = (pa[:, 0] - c[0]) * (pb[:, 1] - c[1]) - (pa[:, 1] - c[1]) * (
+        pb[:, 0] - c[0]
+    )
+    return 0.5 * np.abs(cross).sum(), pa, pb
+
+
+@needs_ref
+def test_lift_drag_analytic_on_curved_boundary():
+    """The curved-edge lift/drag integral against analytic stress fields
+    on 2dMeshCylinder.msh (force = -integral of sigma . n over the
+    closed tag-10 polygon, NSSolver.cpp:892-927):
+
+    * u = 0, p = const: closed curve => force = 0 exactly;
+    * u = (y, x), p = 0: grad u constant => sigma constant => force = 0;
+    * u = 0, p = x (P1-exact): F = -A * (1, 0) with the into-cylinder
+      normal convention (divergence theorem, A = polygon area;
+      force = -integral sigma . n = +integral p n, n = -n_disk);
+    * u = (x^2, 0), p = 0 (P2-exact): sigma_xx = 4 nu x => F_x = +4 nu A.
+    """
+    disc = _ref_disc("2dMeshCylinder.msh")
+    A, _, _ = _polygon_area_from_edges(disc)
+    assert A == pytest.approx(np.pi * _R**2, rel=5e-3)
+
+    cv = np.asarray(disc.coords_v)
+    cp = np.asarray(disc.coords_p)
+    nu = 0.7
+    zero_u = np.zeros((2, disc.n_nodes_v))
+    zero_p = np.zeros(disc.n_nodes_p)
+
+    # constant pressure
+    d, l = sops.lift_drag_forces(
+        disc, nu, Blocks(u=zero_u, p=zero_p + 3.25)
+    )
+    assert abs(float(d)) < 1e-12 and abs(float(l)) < 1e-12
+
+    # constant-gradient velocity
+    u_lin = np.stack([cv[:, 1], cv[:, 0]])
+    d, l = sops.lift_drag_forces(disc, nu, Blocks(u=u_lin, p=zero_p))
+    assert abs(float(d)) < 1e-12 and abs(float(l)) < 1e-12
+
+    # linear pressure p = x: sigma = -x I; force = - (A, 0)
+    d, l = sops.lift_drag_forces(
+        disc, nu, Blocks(u=zero_u, p=cp[:, 0].copy())
+    )
+    assert float(d) == pytest.approx(-A, rel=1e-12)
+    assert abs(float(l)) < 1e-14
+
+    # quadratic velocity u = (x^2, 0): F_x = 4 nu A
+    u_sq = np.stack([cv[:, 0] ** 2, np.zeros(disc.n_nodes_v)])
+    d, l = sops.lift_drag_forces(disc, nu, Blocks(u=u_sq, p=zero_p))
+    assert float(d) == pytest.approx(4 * nu * A, rel=1e-12)
+
+
+def test_generated_curved_mesh_matches_reference_class():
+    """triangulate_channel_curved produces the same mesh class as the
+    reference's gmsh geometry: ring vertices exactly on the circle,
+    closed tag-10 polygon, all four physical ids present."""
+    nodes, tri, bedges, btags = triangulate_channel_curved(30, 12)
+    assert set(np.unique(btags)) == {6, 7, 8, 10}
+    disc = make_simplex_disc(nodes, tri, bedges, btags)
+    assert float(np.asarray(disc.detJ).min()) > 0
+    ln = np.asarray(disc.cyl_len)
+    nrm = np.asarray(disc.cyl_normal)
+    assert ln.shape[0] >= 12
+    assert np.abs((ln[:, None] * nrm).sum(axis=0)).max() < 1e-12
+    A, pa, pb = _polygon_area_from_edges(disc)
+    rr = np.hypot(pa[:, 0] - 0.2, pa[:, 1] - 0.2)
+    np.testing.assert_allclose(rr, _R, rtol=1e-12)
+    assert A == pytest.approx(np.pi * _R**2, rel=0.05)
