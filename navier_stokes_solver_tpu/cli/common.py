@@ -123,6 +123,17 @@ def build_parser(unsteady: bool) -> argparse.ArgumentParser:
         "solve; h-flat counts -- the BASELINE config-2 lever)",
     )
     p.add_argument(
+        "--direct-lu",
+        action="store_true",
+        help="direct dense-LU preconditioner: factor the full saddle "
+        "Jacobian in f32 on the MXU once per tangent solve and apply the "
+        "exact solve (outer Krylov converges in a handful of f64 "
+        "iterations).  Auto-ignored above NSTPU_DIRECT_LU_MAX (default "
+        "30k) total DoFs or under --dd; the -p preconditioner applies "
+        "there.  Strictly stronger than the reference's ILU inners "
+        "(equivalence layer, docs/PARITY.md); default off = parity",
+    )
+    p.add_argument(
         "--cavity",
         action="store_true",
         help="solve the lid-driven cavity (unit box, moving top lid) "
@@ -221,6 +232,7 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
         args.ir is not None
         or args.schur != "mass"
         or args.stokes_schur != "shat"
+        or args.direct_lu
     ):
         from navier_stokes_solver_tpu.precond import PrecondConfig
 
@@ -228,6 +240,7 @@ def parse_options(argv, unsteady: bool) -> SolverOptions:
             krylov_cycle_dtype=args.ir,
             schur_mode=args.schur,
             asimple_stokes_schur=args.stokes_schur,
+            direct_lu=args.direct_lu,
         )
     if args.dd:
         if "," in args.dd:

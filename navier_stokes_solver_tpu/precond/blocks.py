@@ -166,6 +166,23 @@ class PrecondConfig:
     # restarts), smaller eta lets long cycles run into the f32
     # orthogonality noise floor.
     ir_eta: float | None = None
+    # Direct dense-LU preconditioner (TPU-idiomatic, opt-in): build the
+    # full saddle Jacobian as a dense f32 matrix (chunked vmap of the
+    # matrix-free apply over basis vectors -- exact by construction, no
+    # element-matrix code and no scatter HLO), ``lu_factor`` it once per
+    # tangent solve, and apply the exact f32 solve as the preconditioner.
+    # The f64 outer Krylov then converges in a handful of iterations
+    # (each polishes ~eps_f32 of residual), replacing hundreds of nested
+    # MG-preconditioned inner iterations with one O(n^3) MXU-saturating
+    # factorization.  Worth it exactly where the simplex ``-M`` backend
+    # lives (n <= ~30k DoFs: LU ~ 5e12 f32 FLOPs, factors ~2x n^2 * 4 B
+    # HBM); ignored above NSTPU_DIRECT_LU_MAX total DoFs or under domain
+    # decomposition (the per-tile operators are seam-partial).  The
+    # requested -p kind still selects the parity preconditioner wherever
+    # this is ineligible.  Strictly stronger than the reference's
+    # ILU-smoothed inner solves -- a documented equivalence-layer upgrade
+    # (docs/PARITY.md), default off = reference parity.
+    direct_lu: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -518,6 +535,93 @@ def _fixed_p_solver(ctx: LinearContext, cfg: PrecondConfig):
 
 
 # ---------------------------------------------------------------------------
+# direct dense-LU (PrecondConfig.direct_lu)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+# Above this total DoF count the dense Jacobian stops being "small"
+# (n^2 * 4 B for the matrix + the same for its LU factors; 30k -> 3.6 GB
+# transient) and the O(n^3) factorization stops being a per-tangent-solve
+# triviality -- fall back to the requested block preconditioner.
+DIRECT_LU_MAX_N = int(_os.environ.get("NSTPU_DIRECT_LU_MAX", "30000"))
+
+
+def _direct_lu_eligible(ctx: LinearContext) -> bool:
+    disc = ctx.disc
+    if getattr(disc, "halo_axis", None) is not None:
+        return False  # dd tiles: operators are seam-partial, not global
+    n = disc.zeros_u().size + disc.zeros_p().size
+    return n <= DIRECT_LU_MAX_N
+
+
+def make_direct_lu(ctx: LinearContext):
+    """Exact f32 solve with the dense LU of the full saddle Jacobian.
+
+    The matrix is materialized column-block-wise by applying the
+    matrix-free Jacobian to one-hot basis vectors under ``vmap`` (so the
+    dense operator agrees with ``apply_jacobian`` bitwise by
+    construction), then factored with partial pivoting.  Rows that the
+    matrix-free apply leaves exactly zero (orphan lattice nodes inside
+    the voxelized cylinder hole; cf. unstructured/dense.py) get an
+    identity diagonal -- Krylov residuals are identically zero there.
+
+    Built once per ``make_preconditioner`` call = once per tangent solve
+    (the reference re-``initialize``s its preconditioner at the same
+    cadence, NSSolver.cpp:607-651); XLA hoists the build out of the
+    Krylov ``while_loop`` since it is loop-invariant.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    disc = ctx.disc
+    zero = Blocks(u=disc.zeros_u(), p=disc.zeros_p())
+    flat0, unravel = ravel_pytree(zero)
+    n = flat0.shape[0]
+
+    def matvec_flat(xf):
+        y = ctx.ops.apply_jacobian(
+            disc, ctx.nu, ctx.inv_dt, ctx.linq, ctx.diag_f, unravel(xf),
+            stokes=ctx.stokes,
+        )
+        return ravel_pytree(y)[0]
+
+    chunk = 512  # bounds the vmapped intermediates to a few hundred MB
+    n_chunks = -(-n // chunk)
+
+    def build_chunk(c0):
+        idx = c0 * chunk + jnp.arange(chunk)
+        basis = jax.nn.one_hot(idx, n, dtype=flat0.dtype)  # rows e_j
+        return jax.vmap(matvec_flat)(basis)  # rows = (A e_j)^T
+
+    cols = jax.lax.map(build_chunk, jnp.arange(n_chunks))
+    A = cols.reshape(n_chunks * chunk, n)[:n].T  # [n, n]
+    # Exactly-zero rows (orphan lattice nodes, e.g. inside the voxelized
+    # cylinder hole) get an identity diagonal; Krylov residuals are
+    # identically zero there.  NOTE: zero *diagonals* alone do not
+    # qualify -- every pressure row of the saddle system has one.
+    row_max = jnp.max(jnp.abs(A), axis=1)
+    zero_row = row_max == 0.0
+    A = A + jnp.diag(zero_row.astype(A.dtype))
+    # Row/column equilibration: the saddle system is badly scaled
+    # (momentum rows ~nu, continuity rows ~1), which inflates cond(A)
+    # and with it the f32 LU's backward error (the per-outer-iteration
+    # residual contraction of the preconditioned Krylov solve).
+    # Scaling both sides to unit max-norm recovers the intrinsic FEM
+    # conditioning.
+    r = 1.0 / jnp.where(zero_row, 1.0, row_max)
+    As = A * r[:, None]
+    c = 1.0 / jnp.maximum(jnp.max(jnp.abs(As), axis=0), 1e-30)
+    As = As * c[None, :]
+    lu_piv = jax.scipy.linalg.lu_factor(As)
+
+    def vmult(src: Blocks) -> Blocks:
+        b, unr = ravel_pytree(src)
+        return unr(c * jax.scipy.linalg.lu_solve(lu_piv, r * b))
+
+    return vmult
+
+
+# ---------------------------------------------------------------------------
 # blockDiagonal
 # ---------------------------------------------------------------------------
 
@@ -802,6 +906,11 @@ def make_krylov_lo(kind: int, ctx: LinearContext, *, variant: str, cfg):
     lo_dt = getattr(cfg, "krylov_cycle_dtype", None) if cfg else None
     if lo_dt is None:
         return None
+    if getattr(cfg, "direct_lu", False) and _direct_lu_eligible(ctx):
+        # the exact-LU preconditioner converges the f64 outer in a
+        # handful of iterations; f32 IR cycles would only re-build the
+        # (large) factorization a second time for no win
+        return None
     # "mixed": matvec + preconditioner in f32, Arnoldi basis /
     # orthogonalization / Givens in the operator dtype.  Sits between
     # full-f32 cycles (cheapest per iteration, weakest subspace) and f64
@@ -870,7 +979,9 @@ def make_preconditioner(
     if vd is not None and vd != out_dtype:
         ctx = _cast_ctx(ctx, vd)
 
-    if kind == 0:
+    if getattr(cfg, "direct_lu", False) and _direct_lu_eligible(ctx):
+        vmult = make_direct_lu(ctx)
+    elif kind == 0:
         vmult = make_block_diagonal(ctx, cfg, variant)
     elif kind == 1:
         vmult = make_block_triangular(ctx, cfg, variant)

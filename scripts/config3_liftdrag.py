@@ -70,6 +70,10 @@ def main(argv=None):
                     help="PrecondConfig.cc_lp_cycles: replace the nested "
                     "Lp solve of the cahouet/pcd leg with N "
                     "residual-corrected cycles")
+    ap.add_argument("--direct-lu", action="store_true",
+                    help="PrecondConfig.direct_lu: dense f32 LU of the "
+                    "saddle Jacobian as the preconditioner (exact solve; "
+                    "outer counts collapse to a handful per tangent)")
     ap.add_argument("--consistent", action="store_true",
                     help="Jacobian-consistent Newton continuity rhs "
                     "(SolverOptions.consistent_continuity): stabilizes "
@@ -91,10 +95,10 @@ def main(argv=None):
     mx, my = (int(v) for v in args.mesh.split(","))
     span, dt = (float(v) for v in args.time.split(","))
     precond_cfg = None
-    if args.schur != "mass" or args.lp_cycles is not None:
+    if args.schur != "mass" or args.lp_cycles is not None or args.direct_lu:
         from navier_stokes_solver_tpu.precond import PrecondConfig
 
-        kw = {"schur_mode": args.schur}
+        kw = {"schur_mode": args.schur, "direct_lu": args.direct_lu}
         if args.lp_cycles is not None:
             kw["cc_lp_cycles"] = args.lp_cycles
         precond_cfg = PrecondConfig(**kw)
@@ -171,6 +175,7 @@ def main(argv=None):
             "n_dofs": s.n_dofs,
             "schur": args.schur,
             "lp_cycles": args.lp_cycles,
+            "direct_lu": args.direct_lu,
             "segment_walls_s": [round(w, 2) for w in seg_walls],
             "s_per_step": round(wall / max(1, n_steps), 3),
             "tol": args.tol,
