@@ -419,11 +419,17 @@ class NSSolverBase:
         else:
             chunk_len = self._adaptive_chunk_len(basis)
         cfg = o.precond_config
+        # direct_lu programs need the TPU scoped-VMEM headroom jit variant
+        # (api/kernels.py::solve_kernel_lu; DistKernels has no LU variant
+        # and direct_lu is ineligible under dd anyway)
+        solve_fn = self.K.solve_kernel
+        if getattr(cfg, "direct_lu", False):
+            solve_fn = getattr(self.K, "solve_kernel_lu", solve_fn)
         prev_res = None
         while True:
             chunk = min(chunk_len, self.KRYLOV_MAXITER - total)
             t_chunk = _time.perf_counter()
-            self.delta, info = self.K.solve_kernel(
+            self.delta, info = solve_fn(
                 self.disc,
                 self.nu,
                 self.inv_dt,

@@ -36,11 +36,29 @@ def _ops_for(disc):
 __all__ = [
     "assemble_kernel",
     "solve_kernel",
+    "solve_kernel_lu",
     "update_solution",
     "lift_drag_kernel",
+    "LU_COMPILER_OPTIONS",
 ]
 
 _SOLVERS = {0: gmres, 1: fgmres, 2: bicgstab}
+
+# Scoped-VMEM headroom for programs containing the dense LU
+# factorization (PrecondConfig.direct_lu): XLA:TPU's
+# ``LuDecompositionBlock`` custom call stages an [n, 128] panel (plus
+# pivot vectors) in scoped VMEM, which exceeds the default 16 MiB limit
+# for n >~ 15k -- measured 21.6 MiB at n = 21,997 (the 60x40 -M disc),
+# "Ran out of memory in memory space vmem".  48 MiB compiles and runs
+# correctly (v5e VMEM is 128 MiB).  The option is TPU-only (CPU/GPU
+# clients reject it), so the LU-enabled jits below attach it lazily
+# after the backend is known -- never at import (no device query).
+LU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 49152}
+
+
+def lu_compiler_options():
+    """``LU_COMPILER_OPTIONS`` on the tpu backend, else None."""
+    return LU_COMPILER_OPTIONS if jax.default_backend() == "tpu" else None
 
 
 @partial(jax.jit, static_argnames=("stokes", "consistent"))
@@ -61,14 +79,12 @@ def assemble_kernel(
     return rhs, norm(rhs)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "stokes", "solver_type", "prec_type", "variant",
-        "precond_cfg", "basis",
-    ),
+_SOLVE_STATIC = (
+    "stokes", "solver_type", "prec_type", "variant", "precond_cfg", "basis",
 )
-def solve_kernel(
+
+
+def _solve_kernel(
     disc,
     nu,
     inv_dt,
@@ -140,6 +156,25 @@ def solve_kernel(
         A, rhs, x0, tol=tol, maxiter=maxiter, M=M, **kw
     )
     return delta, info
+
+
+solve_kernel = jax.jit(_solve_kernel, static_argnames=_SOLVE_STATIC)
+
+_solve_kernel_lu_jit = None
+
+
+def solve_kernel_lu(*args, **kwargs):
+    """``solve_kernel`` compiled with scoped-VMEM headroom for the dense
+    LU custom call (identical program; TPU-only compiler option attached
+    lazily once the backend is known)."""
+    global _solve_kernel_lu_jit
+    if _solve_kernel_lu_jit is None:
+        _solve_kernel_lu_jit = jax.jit(
+            _solve_kernel,
+            static_argnames=_SOLVE_STATIC,
+            compiler_options=lu_compiler_options(),
+        )
+    return _solve_kernel_lu_jit(*args, **kwargs)
 
 
 @jax.jit

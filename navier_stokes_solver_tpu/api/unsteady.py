@@ -206,8 +206,10 @@ class NSSolver(NSSolverBase):
         (drag, lift, iters) history after every retired chunk, and resume
         from that checkpoint on entry if one exists -- elastic restart for
         long runs on a preemptible/fault-prone device (the reference loses
-        everything on an MPI abort, SURVEY.md section 5).  Single-device
-        fused loop only.  ``max_steps_this_call``: stop (with a checkpoint
+        everything on an MPI abort, SURVEY.md section 5).  Under domain
+        decomposition the checkpoint stores the gathered tile-stacked
+        slabs; resume requires the same dd layout (validated).
+        ``max_steps_this_call``: stop (with a checkpoint
         written) after this many steps, letting a driver split one long
         trajectory across several short-lived processes; callers detect a
         partial run via ``self.time_step_index < round(T/dt)``.
@@ -247,11 +249,6 @@ class NSSolver(NSSolverBase):
                 make_dist_time_step,
             )
 
-            if checkpoint_dir is not None:
-                raise ValueError(
-                    "checkpoint_dir is single-device only (the decomposed "
-                    "TimeState is tile-stacked)"
-                )
             step = make_dist_time_step(self.disc, self.dist_mesh, **kw)
             ts0 = init_dist_state(self.disc)._replace(solution=self.solution)
         else:
@@ -268,10 +265,18 @@ class NSSolver(NSSolverBase):
         ):
             import json
 
+            import numpy as np
+
             from navier_stokes_solver_tpu.io.checkpoint import load_time_state
 
-            ts0 = load_time_state(self.disc, checkpoint_dir)
-            start = int(ts0.step)
+            # under dd, ts0 (init_dist_state) provides the tile-stacked
+            # template; re-shard the loaded stacked slabs over the mesh
+            ts0 = load_time_state(self.disc, checkpoint_dir, template=ts0)
+            if self.dist_mesh is not None:
+                from navier_stokes_solver_tpu.dist import device_put_dist
+
+                ts0 = device_put_dist(ts0, self.dist_mesh)
+            start = int(np.ravel(np.asarray(ts0.step))[0])
             hist_path = os.path.join(checkpoint_dir, "history.json")
             if os.path.exists(hist_path):
                 with open(hist_path) as f:
@@ -351,6 +356,16 @@ class NSSolver(NSSolverBase):
                     tmp, os.path.join(checkpoint_dir, "history.json")
                 )
 
+        # direct_lu programs need the TPU scoped-VMEM headroom
+        # (api/kernels.py::LU_COMPILER_OPTIONS)
+        copts = None
+        if getattr(o.precond_config, "direct_lu", False):
+            from navier_stokes_solver_tpu.api.kernels import (
+                lu_compiler_options,
+            )
+
+            copts = lu_compiler_options()
+
         final, hist = run_time_loop(
             step, ts0, self.nu, o.time_step, todo, chunk=chunk_steps,
             progress=lambda done, total, w: self.log(
@@ -358,6 +373,7 @@ class NSSolver(NSSolverBase):
                 f"({w:.1f} s/dispatch)"
             ),
             on_chunk=on_chunk,
+            compiler_options=copts,
         )
 
         # under dd every scalar is tile-stacked with identical (psum'd)

@@ -29,7 +29,13 @@ _FORMAT_VERSION = 1
 
 def save_time_state(ts, path: str) -> str:
     """Save a fused-timeloop ``TimeState`` (performance path) to ``path``
-    (directory), enabling elastic restart of long on-device runs."""
+    (directory), enabling elastic restart of long on-device runs.
+
+    Works for single-device and domain-decomposed states alike: under dd
+    every leaf is tile-stacked ``[n_tiles, ...]`` and ``np.asarray``
+    gathers the sharded array to the host -- the npz then holds the
+    stacked slabs (resume requires the same dd layout;
+    :func:`load_time_state` validates shapes)."""
     os.makedirs(path, exist_ok=True)
     np.savez_compressed(
         os.path.join(path, "time_state.npz"),
@@ -43,13 +49,25 @@ def save_time_state(ts, path: str) -> str:
     return path
 
 
-def load_time_state(disc, path: str):
-    """Restore a ``TimeState`` saved by :func:`save_time_state`."""
+def load_time_state(disc, path: str, template=None):
+    """Restore a ``TimeState`` saved by :func:`save_time_state`.
+
+    ``template``: TimeState providing the target structure/shapes (the
+    tile-stacked ``init_dist_state`` under dd); default =
+    ``initial_state(disc)`` (single device)."""
     from navier_stokes_solver_tpu.timeloop import initial_state
 
     data = np.load(os.path.join(path, "time_state.npz"))
     dt = disc.dtype
-    ts = initial_state(disc)
+    ts = template if template is not None else initial_state(disc)
+    if tuple(data["u"].shape) != tuple(ts.solution.u.shape):
+        raise ValueError(
+            f"checkpoint at {path} has velocity shape "
+            f"{tuple(data['u'].shape)} but this run expects "
+            f"{tuple(ts.solution.u.shape)} -- mesh or dd layout mismatch "
+            "(dd checkpoints store tile-stacked slabs and resume only "
+            "under the same decomposition)"
+        )
     return ts._replace(
         solution=Blocks(
             u=jnp.asarray(data["u"], dt), p=jnp.asarray(data["p"], dt)

@@ -296,7 +296,7 @@ def make_stokes_init(
 
 def run_time_loop(
     step_fn, ts0: TimeState, nu, dt, n_steps: int, *, chunk: int | None = None,
-    progress=None, on_chunk=None,
+    progress=None, on_chunk=None, compiler_options=None,
 ):
     """Run ``n_steps`` implicit-Euler steps as ``lax.scan``s; streams
     per-step (drag, lift, newton_iters, krylov_iters).
@@ -318,6 +318,10 @@ def run_time_loop(
     chunk with the current ``TimeState`` and that chunk's host-fetched
     per-step outputs ``(drag, lift, newton_iters, krylov_iters)`` --
     the checkpoint hook for elastic restart of long runs.
+
+    ``compiler_options``: per-compile XLA options for the scan programs
+    (the direct-LU scoped-VMEM headroom, api/kernels.py); None keeps the
+    default eager-``lax.scan`` compilation path unchanged.
     """
 
     def body(ts, _):
@@ -328,7 +332,15 @@ def run_time_loop(
     def scan_k(ts, k):
         return lax.scan(body, ts, None, length=k)
 
-    if chunk is None or chunk >= n_steps:
+    if compiler_options is not None:
+        scan_k = jax.jit(
+            scan_k, static_argnums=(1,), compiler_options=compiler_options
+        )
+
+    # on_chunk (the checkpoint hook) must fire even when a single chunk
+    # covers the whole call (e.g. max_steps_this_call == chunk_steps) --
+    # only the hook-free case may take the unchunked fast path
+    if (chunk is None or chunk >= n_steps) and on_chunk is None:
         final, (drag, lift, ni, ki) = scan_k(ts0, n_steps)
     else:
         import time as _time
@@ -339,7 +351,7 @@ def run_time_loop(
         outs = []
         remaining = n_steps
         while remaining > 0:
-            k = min(chunk, remaining)
+            k = min(chunk or n_steps, remaining)
             t0 = _time.perf_counter()
             ts, out = scan_k(ts, k)
             # retire this device call before the next dispatch with a REAL

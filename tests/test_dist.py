@@ -138,6 +138,72 @@ def test_solve_fused_dd_matches_single():
     )
 
 
+def test_solve_fused_dd_checkpoint_resume(tmp_path):
+    """Elastic checkpoint/resume of the fused loop UNDER domain
+    decomposition: a run split across two solve_fused calls through a
+    checkpoint dir reproduces the uninterrupted dd run bitwise (the
+    checkpoint stores gathered tile-stacked slabs; resume re-shards
+    them over the mesh)."""
+    from navier_stokes_solver_tpu.api import NSSolver
+    from navier_stokes_solver_tpu.api.base import SolverOptions
+
+    def opts():
+        return SolverOptions(
+            mesh_size=(32, 12), Re=10.0, solver_type=1, tolerance=1e-9,
+            preconditioner_type=1, time_span=0.03, time_step=0.01,
+            verbose=False, degree_velocity=2, degree_pressure=1, dd=(4, 1),
+        )
+
+    ref = NSSolver(opts()).setup()
+    ref.solve_fused(newton_max=3, krylov_maxiter=200)
+    ref_steps = [h for h in ref.history if h.get("phase") == "step"]
+    assert len(ref_steps) == 3
+
+    ck = str(tmp_path / "ck_dd")
+    s1 = NSSolver(opts()).setup()
+    s1.solve_fused(newton_max=3, krylov_maxiter=200,
+                   checkpoint_dir=ck, max_steps_this_call=1)
+    assert s1.time_step_index == 1  # partial
+    import os as _os
+
+    # regression: a single-chunk call must still write the checkpoint
+    assert _os.path.exists(_os.path.join(ck, "time_state.npz"))
+
+    s2 = NSSolver(opts()).setup()
+    s2.solve_fused(newton_max=3, krylov_maxiter=200, checkpoint_dir=ck)
+    assert s2.time_step_index == 3
+    res_steps = [h for h in s2.history if h.get("phase") == "step"]
+    for a, b in zip(ref_steps, res_steps):
+        assert a["drag_force"] == b["drag_force"]
+        assert a["krylov_iters"] == b["krylov_iters"]
+    u1, p1 = ref.fields()
+    u2, p2 = s2.fields()
+    np.testing.assert_array_equal(u1, u2)
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_dd_checkpoint_layout_mismatch_raises(tmp_path):
+    """A dd checkpoint resumed under a different decomposition must fail
+    loudly (the npz stores tile-stacked slabs, not global fields)."""
+    import pytest as _pytest
+
+    from navier_stokes_solver_tpu.api import NSSolver
+    from navier_stokes_solver_tpu.api.base import SolverOptions
+
+    common = dict(
+        mesh_size=(32, 12), Re=10.0, solver_type=1, tolerance=1e-9,
+        preconditioner_type=1, time_span=0.02, time_step=0.01,
+        verbose=False, degree_velocity=2, degree_pressure=1,
+    )
+    ck = str(tmp_path / "ck_mismatch")
+    s1 = NSSolver(SolverOptions(**common, dd=(4, 1))).setup()
+    s1.solve_fused(newton_max=3, krylov_maxiter=200,
+                   checkpoint_dir=ck, max_steps_this_call=1)
+    s2 = NSSolver(SolverOptions(**common, dd=(2, 1))).setup()
+    with _pytest.raises(ValueError, match="dd layout mismatch"):
+        s2.solve_fused(newton_max=3, krylov_maxiter=200, checkpoint_dir=ck)
+
+
 def test_seam_weighted_dot_matches_global():
     from navier_stokes_solver_tpu.ops.matfree import make_dot
 

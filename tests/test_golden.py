@@ -98,24 +98,45 @@ def test_stationary_solver_paths_agree():
     np.testing.assert_allclose(drags[0], drags[2], rtol=1e-7)
 
 
-def test_unsteady_host_vs_fused_drag():
+def test_unsteady_host_vs_fused_fields_1e6_gate():
     """The host fidelity path and the fused on-device path integrate the
-    same implicit-Euler dynamics; after a few steps from rest their drag
-    must agree (both solve to tight Newton tolerances; the fused path skips
-    the per-step Re ramp, which only affects the solve path)."""
+    same implicit-Euler dynamics; after a few steps from rest their FULL
+    velocity/pressure fields must agree to the BASELINE fidelity gate
+    (1e-6), not just the drag integral (both solve to tight Newton
+    tolerances; the fused path skips the per-step Re ramp, which only
+    affects the solve path, and each step's Newton fixed point is unique
+    at these small Re).
+
+    Both paths Newton-converge to 1e-12 here: the reference's 1e-9
+    (NSSolver.cpp:679) leaves EACH path ~cond * 1e-9 ~ 4e-6 from the
+    step's true fixed point -- about the gate itself -- so the gate must
+    compare the paths, not their shared Newton truncation.  Run with
+    the Jacobian-consistent continuity rhs: the reference's sign bug
+    (NSSolver.cpp:461-463 vs :517-519) makes the continuity residual
+    non-contracting, stalling both paths' Newton at ~2e-8 on DIFFERENT
+    iterates (pressure apart ~2e-5); with true Newton each step's fixed
+    point is unique and the gate measures pure path equivalence."""
     common = dict(mesh_size=(24, 10), degree_velocity=2, degree_pressure=1,
                   Re=30.0, time_span=0.03, time_step=0.01, solver_type=1,
-                  tolerance=1e-10, preconditioner_type=2, verbose=False,
-                  multigrid=False)
+                  tolerance=1e-12, preconditioner_type=2, verbose=False,
+                  multigrid=False, consistent_continuity=True)
     host = NSSolver(SolverOptions(**common))
+    host.NEWTON_TOL = 1e-12
     host.setup()
     host.solve()
 
     fused = NSSolver(SolverOptions(**common))
     fused.setup()
-    fused.solve_fused(newton_max=10, newton_tol=1e-9)
+    fused.solve_fused(newton_max=12, newton_tol=1e-12)
 
     np.testing.assert_allclose(fused.drag_force, host.drag_force, rtol=1e-4)
+    # BASELINE.json field gate: fields match the fidelity path to 1e-6
+    hu, hp = host.fields()
+    fu, fp = fused.fields()
+    scale_u = np.abs(hu).max()
+    scale_p = np.abs(hp).max()
+    assert np.abs(fu - hu).max() < 1e-6 * max(scale_u, 1.0)
+    assert np.abs(fp - hp).max() < 1e-6 * max(scale_p, 1.0)
 
 
 def test_solver_types_agree():
