@@ -23,14 +23,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def timeit(fn, *args, n=20, warmup=3):
     import jax
+    import jax.numpy as jnp
+
+    def drain(o):
+        # jax.block_until_ready does NOT synchronize under the remote
+        # axon runtime (docs/PERF.md round-4 isolation); a real
+        # device->host VALUE fetch is the only reliable barrier.  The n
+        # timed calls may queue asynchronously -- the final fetch drains
+        # the queue, so total/n remains a sound per-call throughput.
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        jax.device_get(jnp.ravel(leaf)[0])
 
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    drain(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    drain(out)
     return (time.perf_counter() - t0) / n
 
 

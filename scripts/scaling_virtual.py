@@ -52,6 +52,13 @@ def main(argv=None):
     ap.add_argument("--prec", type=int, default=1)
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--degrees", default="3,2")
+    ap.add_argument(
+        "--simplex", action="store_true",
+        help="-M simplex backend (P2/P1 x-strip decomposition, "
+        "dist/simplex.py).  Disables the dense Schur legs at EVERY tile "
+        "count (they are single-tile-only, so leaving them on at dd=1 "
+        "would conflate the backend change with the decomposition)",
+    )
     ap.add_argument("--csv", default="scaling_virtual_log.csv")
     ap.add_argument("--no-cpu-virtual", action="store_true",
                     help="use the real platform/devices (pod mode)")
@@ -89,6 +96,8 @@ def main(argv=None):
             tolerance=args.tol, preconditioner_type=args.prec,
             degree_velocity=dv, degree_pressure=dp, verbose=False,
             dd=None if n == 1 else (n, 1),
+            read_mesh_from_file=args.simplex,
+            dense_schur=not args.simplex,
         )
         s = NSSolverStationary(opts)
         s.setup()
